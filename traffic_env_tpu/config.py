@@ -1,0 +1,209 @@
+"""Configuration system: a frozen, hashable config pytree with
+fixed-point derivations.
+
+The reference uses an ambient global ``FLAGS`` namespace whose derived
+flags are recomputed to a fixed point (/root/reference args.py:30-35,
+traffic_test.py:19-24, alg_flags.py:41-44).  We keep the derivation
+idea — modules register callbacks that rewrite derived fields until the
+config stops changing — but replace ambient globals with an explicit
+frozen dataclass.  Because the dataclass is hashable, a ``Config`` can
+be passed as a *static* argument to ``jax.jit``: every distinct
+configuration compiles its own specialized XLA program, and all config
+values become trace-time constants (no device traffic for settings).
+
+``Config.to_json`` / ``from_json`` reproduce the reference's
+``settings.json`` reproducibility snapshot (algorithms/util.py:29-32).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Callable, Optional
+
+# Registered derivation callbacks: Config -> dict of field overrides.
+_DERIVATIONS: list[Callable[["Config"], dict]] = []
+
+
+def add_derivation(fn: Callable[["Config"], dict]) -> Callable:
+    _DERIVATIONS.append(fn)
+    return fn
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # -- simulator (traffic_env.py:11-15) --------------------------------
+    local_cars_per_sec: float = 0.12
+    rate: float = 0.5            # seconds of simulated time per tick
+    poisson: bool = True
+    entry: str = "all"           # all | one | random
+    learn_switch: bool = False
+
+    # -- time structure (traffic_test.py:12-13) --------------------------
+    episode_secs: int = 600
+    light_secs: int = 5
+    warmup_lights: int = 0
+
+    # -- reward shaping (traffic_test.py:15-17) --------------------------
+    local_weight: int = 1
+    squish_rewards: bool = False
+    remi: bool = True
+
+    # -- shared RL flags (alg_flags.py:4-39) ------------------------------
+    restore: bool = False
+    grad_summary: bool = False
+    print_discounted: bool = True
+    use_avg: bool = False
+    print_avg: bool = False
+    render: bool = False
+    episode_len: int = 800       # derived for traffic: episode_secs/light_secs
+    save_rate: int = 1000
+    logdir: str = "summaries"
+    gamma: float = 0.8
+    learning_rate: float = 0.00025
+    summary_rate: int = 10
+    validate_rate: int = 20
+    trainer: str = "qlearn"
+    exploration: str = "e_greedy"   # e_greedy | boltzman | proportional
+    batch_size: int = 30
+    vis_size: int = 200
+    mode: str = "train"             # train | validate
+    spacing: int = 3
+    start_eps: float = 0.8
+    end_eps: float = 0.08
+    start_temp: float = 500.0
+    end_temp: float = 1.0
+    annealing_episodes: float = 20000
+    history: int = 1
+    target_update_rate: int = 10
+    buffer_size: int = 10000
+    trace_size: int = 8
+    threads: int = 4                # becomes the actor-batch factor on TPU
+    lam: float = 1.0
+    debug: bool = False
+    train_rate: int = 1
+    total_episodes: Optional[int] = None
+    best_threshold: float = 30.0
+    interactive: bool = False
+    single_agent: bool = False
+    beta: float = 0.001             # qlearn avg-reward step (qlearn.py:4)
+
+    # -- grid workload (traffic_test.py:80) -------------------------------
+    grid_m: int = 3
+    grid_n: int = 3
+    road_length: float = 250.0
+
+    # -- TPU-native additions ---------------------------------------------
+    num_envs: int = 1024            # lockstep env batch size
+    seed: int = 0
+    exact: bool = False             # bit-exact parity mode (host spawn streams)
+    conv_gru: bool = False          # grid-shaped ConvGRU policy for a3c
+    mesh_shape: str = ""            # e.g. "4,2" -> (dp, mp); "" = all-dp
+
+    # -- derived (filled by derive()) -------------------------------------
+    light_iterations: int = 10
+    episode_ticks: int = 1200
+    cars_per_sec: float = 1.44
+
+    # -----------------------------------------------------------------
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def derive(self) -> "Config":
+        """Apply registered derivations to a fixed point (args.py:30-35)."""
+        cfg = self
+        for _ in range(10):
+            updates: dict = {}
+            for fn in _DERIVATIONS:
+                updates.update(fn(cfg))
+            new = cfg.replace(**updates) if updates else cfg
+            if new == cfg:
+                return cfg
+            cfg = new
+        raise RuntimeError("Could not find settings fixed point")
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=4,
+                          separators=(",", ": "))
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        raw = json.loads(text)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in raw.items() if k in fields}).derive()
+
+
+# -- standard derivations ------------------------------------------------
+
+@add_derivation
+def _time_derivations(cfg: Config) -> dict:
+    """episode_len / light_iterations / episode_ticks from wall-clock
+    settings (traffic_test.py:19-24)."""
+    out = {
+        "episode_len": int(cfg.episode_secs / cfg.light_secs),
+        "light_iterations": int(cfg.light_secs / cfg.rate),
+        "episode_ticks": int(cfg.episode_secs / cfg.rate),
+    }
+    if cfg.trainer == "polgrad_rnn":
+        out["use_avg"] = True
+    return out
+
+
+@add_derivation
+def _std_derivations(cfg: Config) -> dict:
+    """alg_flags.py:41-44."""
+    out: dict = {}
+    if cfg.render:
+        out["mode"] = "validate"
+    if cfg.use_avg:
+        out["print_avg"] = True
+    return out
+
+
+@add_derivation
+def _qlearn_derivations(cfg: Config) -> dict:
+    """qlearn stacks 20 frames of history; avg-reward mode sets gamma=1
+    (qlearn.py:6-10)."""
+    out: dict = {}
+    if cfg.trainer == "qlearn":
+        out["history"] = 20
+        if cfg.use_avg:
+            out["gamma"] = 1.0
+    return out
+
+
+def entry_spec(cfg: Config, rng=None) -> int:
+    """4-bit boundary mask from the --entry flag (traffic_env.py:389-392)."""
+    if cfg.entry == "random":
+        import numpy as np
+        r = rng if rng is not None else np.random
+        return int(r.randint(0b1111))
+    if cfg.entry == "one":
+        return 0b1110
+    return 0
+
+
+def derive_spawn_rate(cfg: Config, open_sides: int) -> "Config":
+    """cars_per_sec = local_cars_per_sec * m * open_sides
+    (traffic_env.py:394)."""
+    return cfg.replace(
+        cars_per_sec=cfg.local_cars_per_sec * cfg.grid_m * open_sides)
+
+
+# -- CLI ------------------------------------------------------------------
+
+def parse_flags(argv=None) -> Config:
+    parser = argparse.ArgumentParser(description="traffic_env_tpu")
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name
+        if f.type in ("bool", bool):
+            parser.add_argument(name, nargs="?", const=True, default=f.default,
+                                type=lambda s: s in (True, "True", "true", "1"))
+        elif f.name == "total_episodes":
+            parser.add_argument(name, type=int, default=None)
+        else:
+            typ = {"int": int, "float": float, "str": str}.get(f.type, str)
+            parser.add_argument(name, type=typ, default=f.default)
+    ns = parser.parse_args(argv)
+    return Config(**vars(ns)).derive()
