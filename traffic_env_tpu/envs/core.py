@@ -1,0 +1,385 @@
+"""The jitted simulator core.
+
+``make_sim(topo, cfg)`` builds a set of pure functions closed over the
+static topology (baked into the XLA program as constants):
+
+* ``tick(state, action[, schedule]) -> state`` — one IDM simulation
+  tick: phase bookkeeping, car spawning, fake-leader light update, the
+  fully vectorized IDM integration over every (road, slot) pair, and
+  the road-ordered hand-off of cars that crossed their road end.
+* ``reset(state, phase) -> state`` — episode reset preserving the
+  arrival stream, stale detectors, and PRNG state.
+* ``obs(state)`` / ``remi(state)`` / ``cars_per_road(state)`` — views.
+
+Everything is float32/int32 with static shapes; a batch axis may be
+appended *last* on every leaf via ``jax.vmap(fn, in_axes=-1,
+out_axes=-1)`` so that the env batch occupies TPU vector lanes (see
+batch.py).
+
+Semantics follow the NumPy oracle (traffic_env_tpu.oracle.sim), which
+in turn documents each reference behavior it reproduces.  Design notes:
+
+* The reference integrates each road's cars with per-road array slices
+  plus a mirror slot so slices stay contiguous (traffic_env.py:187-212).
+  All reads complete before writes, so the update is synchronous; here
+  it becomes a single masked elementwise program over the full
+  ``(roads, slots)`` plane with leaders obtained by a circular roll —
+  the natural shape for the TPU VPU, and bit-identical because the math
+  per car is unchanged.
+* The hand-off loop must run in road-index order to reproduce reference
+  trajectories exactly (chained transfers + overflow edge cases,
+  traffic_env.py:116-135); it is a ``fori_loop`` over roads with a
+  bounded inner ``while_loop``.  Only the IDM math is wide; the
+  hand-off is scalar bookkeeping, and under ``vmap`` every step of it
+  is vectorized across the env batch.  A faster relaxed-order variant
+  lives in ``fast.py``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..constants import (ARCHETYPES, DETECT_RANGE, EPS, NPARAMS,
+                         OVERFLOW_PENALTY, PASSING_REWARD, RING, THRESH,
+                         YELLOW_TICKS, X, V, L, A, DELTA, V0, B, T, S0, W)
+from ..topology import GridRoad
+from .structs import SimState, SpawnSchedule
+
+I32 = jnp.int32
+F32 = jnp.float32
+INF = jnp.float32(np.inf)
+
+
+def ring_inc(i):
+    """Ring successor modulo RING (reference ``wrap``, traffic_env.py:46-47,
+    shifted to the mirror-free 0..RING-1 layout)."""
+    j = i + 1
+    return jnp.where(j >= RING, 0, j)
+
+
+class SimFns(NamedTuple):
+    tick: callable
+    reset: callable
+    obs: callable
+    remi: callable
+    cars_per_road: callable
+    cars_on_roads: callable
+    init_phase: callable
+
+
+def make_sim(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
+             max_spawns_per_tick: int = 8) -> SimFns:
+    R, Rt, I = topo.roads, topo.train_roads, topo.intersections
+    length = np.float32(topo.road_len if hasattr(topo, "road_len") else topo.length)
+    rate = np.float32(cfg.rate)
+    lam = np.float32(1.0 / (cfg.cars_per_sec * cfg.rate))
+
+    # Static topology constants baked into the program.
+    dest = topo.dest                       # i32[R], -1 on exit roads
+    dest_t = topo.dest[:Rt]                # i32[Rt]
+    pg_t = topo.phase_group[:Rt]           # i32[Rt]
+    nxt = topo.nxt                         # i32[R]
+    nxt_t = topo.nxt[:Rt]                  # i32[Rt], always >= 0
+    entrypoints = topo.entrypoints         # i32[E]
+    train_ids = np.arange(Rt)
+    archetype = jnp.asarray(ARCHETYPES[0])
+
+    # ------------------------------------------------------------------
+    # add_car: masked ring-buffer push (traffic_env.py:96-114)
+    # ------------------------------------------------------------------
+    def _add_car(cars, leading, lastcar, rewards, road, car, enabled):
+        last = lastcar[road]
+        lead = leading[road]
+        slot = ring_inc(last)
+        tail = cars[road, :, last]
+        tail_floor = jnp.where(last != lead, tail[X] - tail[L] - tail[S0], INF)
+        full = slot == lead
+        do = enabled & ~full
+        car = car.at[X].set(jnp.minimum(car[X], tail_floor))
+        cars = cars.at[road, :, slot].set(
+            jnp.where(do, car, cars[road, :, slot]))
+        lastcar = lastcar.at[road].set(jnp.where(do, slot, last))
+        d = jnp.asarray(dest)[road]
+        pen = enabled & full & (d >= 0)
+        rewards = rewards.at[jnp.maximum(d, 0)].add(
+            jnp.where(pen, -OVERFLOW_PENALTY, F32(0)))
+        return cars, lastcar, rewards, enabled & full
+
+    # ------------------------------------------------------------------
+    # spawning
+    # ------------------------------------------------------------------
+    def _spawn_from_schedule(state: SimState, sched: SpawnSchedule):
+        cars, leading, lastcar, rewards = (state.cars, state.leading,
+                                           state.lastcar, state.rewards)
+        count = sched.counts[state.global_tick]
+        roads_row = sched.roads[state.global_tick]
+        car = archetype.at[W].set(state.steps.astype(F32))
+        overflow = jnp.asarray(False)
+        k = sched.roads.shape[-1]
+        for j in range(k):
+            en = j < count
+            cars, lastcar, rewards, ovf = _add_car(
+                cars, leading, lastcar, rewards, roads_row[j], car, en)
+            overflow |= ovf
+        return state.replace(cars=cars, lastcar=lastcar, rewards=rewards,
+                             key=state.key), overflow
+
+    def _spawn_on_device(state: SimState, _sched):
+        """Rounded-exponential renewal process drawn from the env key.
+
+        Mirrors the generator protocol: emit cars while the pending gap
+        is zero (redrawing a gap after each), then consume one empty
+        tick (traffic_env.py:159-164, 274-283)."""
+        cars, leading, lastcar, rewards = (state.cars, state.leading,
+                                           state.lastcar, state.rewards)
+        key = state.key
+        gap = state.spawn_gap
+        car = archetype.at[W].set(state.steps.astype(F32))
+        overflow = jnp.asarray(False)
+        # Lazily draw the first gap, like the reference generator.
+        key, sub = jax.random.split(key)
+        gap = jnp.where(
+            gap < 0,
+            jnp.round(jax.random.exponential(sub, dtype=F32) * lam).astype(I32),
+            gap)
+        for _ in range(max_spawns_per_tick):
+            key, k1, k2 = jax.random.split(key, 3)
+            en = gap == 0
+            road = jnp.asarray(entrypoints)[
+                jax.random.randint(k1, (), 0, len(entrypoints))]
+            cars, lastcar, rewards, ovf = _add_car(
+                cars, leading, lastcar, rewards, road, car, en)
+            overflow |= ovf
+            new_gap = jnp.round(
+                jax.random.exponential(k2, dtype=F32) * lam).astype(I32)
+            gap = jnp.where(en, new_gap, gap)
+        gap = gap - (gap > 0)  # the empty tick that ends this round
+        return state.replace(cars=cars, lastcar=lastcar, rewards=rewards,
+                             key=key, spawn_gap=gap), overflow
+
+    _spawn = _spawn_on_device if on_device_spawns else _spawn_from_schedule
+
+    # ------------------------------------------------------------------
+    # lights: write each training road's fake-leader x
+    # (traffic_env.py:80-94)
+    # ------------------------------------------------------------------
+    def _update_lights(cars, leading, lastcar, phase, elapsed):
+        red_or_yellow = ((pg_t == phase[dest_t])
+                         | (elapsed[dest_t] < YELLOW_TICKS))
+        next_lead = leading[nxt_t]
+        next_last = lastcar[nxt_t]
+        next_empty = next_lead == next_last
+        next_x = cars[nxt_t, X, next_last] + length
+        fake_x = jnp.where(red_or_yellow, length,
+                           jnp.where(next_empty, INF, next_x))
+        return cars.at[train_ids, X, leading[:Rt]].set(fake_x)
+
+    # ------------------------------------------------------------------
+    # IDM integration over the whole (roads, slots) plane
+    # (traffic_env.py:50-62, 187-212)
+    # ------------------------------------------------------------------
+    def _integrate(cars, leading, lastcar, waiting, detected):
+        x, v = cars[:, X, :], cars[:, V, :]
+        ld_x = jnp.roll(x, 1, axis=-1)
+        ld_v = jnp.roll(v, 1, axis=-1)
+        ld_l = jnp.roll(cars[:, L, :], 1, axis=-1)
+
+        slots = jnp.arange(RING)[None, :]
+        dist = (slots - leading[:, None]) % RING
+        ncars = (lastcar - leading) % RING
+        mask = (dist >= 1) & (dist <= ncars[:, None])
+
+        a, b = cars[:, A, :], cars[:, B, :]
+        t, s0 = cars[:, T, :], cars[:, S0, :]
+        v0 = cars[:, V0, :]
+
+        # Bit-exactness note: XLA's MLIR emitters canonicalize
+        # mul-feeding-add/sub chains into fused FMAs, which changes
+        # rounding vs the oracle's plain IEEE ops.  Every product that
+        # feeds an add/sub is therefore routed through an identity the
+        # compiler cannot fold away: max(p, 0) for provably-nonnegative
+        # products, a finite clamp for signed ones (trajectory-identical
+        # — the clamped +-inf cases are gated off identically by the
+        # dx>0 / max(0, v) guards on both sides).
+        nn = lambda p: jnp.maximum(p, F32(0))          # p >= 0 by construction
+        fin = lambda p: jax.lax.clamp(F32(np.finfo(np.float32).min), p,
+                                      F32(np.finfo(np.float32).max))
+        desired = s0 + jnp.maximum(
+            F32(0), nn(v * t) + v * (v - ld_v) / (2 * jnp.sqrt(a * b)))
+        gap = ld_x - x - ld_l
+        # delta == 4 for every archetype: two explicit squarings instead
+        # of pow() so the op sequence is IEEE-exact and matches the
+        # oracle bit-for-bit (see oracle.sim.idm_update).
+        free_flow = nn(jnp.square(jnp.square(v / v0)))
+        dv = a * (1 - free_flow - nn(jnp.square(desired / (gap + EPS))))
+        dvr = dv * rate
+        dx = nn(rate * v) + fin(F32(0.5) * dvr * rate)
+        # The oracle adds (dx>0)*dx unconditionally (+0.0 when parked),
+        # which matters for -0.0 positions; mirror that exactly.
+        new_x = jnp.where(mask, x + nn((dx > 0) * dx), x)
+        new_v = jnp.where(mask, jnp.maximum(F32(0), v + fin(dvr)), v)
+        cars = cars.at[:, X, :].set(new_x).at[:, V, :].set(new_v)
+
+        # Waiting metric: speed for contiguous segments; for a wrapped
+        # buffer the second segment compares POSITION against THRESH —
+        # a reference bug kept for parity (traffic_env.py:210).
+        wrapped = (leading > lastcar)[:, None]
+        in_second_seg = wrapped & (slots <= lastcar[:, None])
+        metric = jnp.where(in_second_seg, new_x, new_v)
+        wait_inc = jnp.sum(mask & (metric < THRESH), axis=-1,
+                           dtype=I32)[:Rt]
+        det_cnt = jnp.sum(mask & (new_x > length - DETECT_RANGE), axis=-1,
+                          dtype=I32)[:Rt]
+        occupied = (ncars > 0)[:Rt]
+        waiting = waiting + jnp.where(occupied, wait_inc, 0)
+        # Empty roads keep their stale detector value (traffic_env.py:194).
+        detected = jnp.where(occupied, det_cnt, detected)
+        return cars, waiting, detected
+
+    # ------------------------------------------------------------------
+    # hand-off: exact road-index-ordered transfer (traffic_env.py:116-135)
+    # ------------------------------------------------------------------
+    nxt_c = jnp.asarray(nxt)
+    dest_c = jnp.asarray(dest)
+
+    def _advance(cars, leading, lastcar, passed, rewards, passed_dst):
+        def road_body(e, carry):
+            cars, leading, lastcar, passed, rewards, passed_dst, overflow = carry
+
+            def cond(c):
+                cars, leading, lastcar, *_ = c
+                front = ring_inc(leading[e])
+                return (leading[e] != lastcar[e]) & (cars[e, X, front] > length)
+
+            def body(c):
+                cars, leading, lastcar, passed, rewards, passed_dst, overflow = c
+                front = ring_inc(leading[e])
+                nr = nxt_c[e]
+                d = dest_c[e]
+                through = nr >= 0           # crossing an intersection
+                car = cars[e, :, front]
+                car = car.at[X].add(jnp.where(through, -length, F32(0)))
+                passed = passed.at[jnp.minimum(e, Rt - 1)].add(
+                    jnp.where(through, 1, 0))
+                dd = jnp.maximum(d, 0)
+                passed_dst = passed_dst.at[dd].set(passed_dst[dd] | through)
+                rewards = rewards.at[dd].add(
+                    jnp.where(through, PASSING_REWARD, F32(0)))
+                cars, lastcar, rewards, ovf = _add_car(
+                    cars, leading, lastcar, rewards, jnp.maximum(nr, 0),
+                    car, through)
+                # Vacated slot inherits the fake-leader params.
+                cars = cars.at[e, :, front].set(cars[e, :, leading[e]])
+                leading = leading.at[e].set(front)
+                return (cars, leading, lastcar, passed, rewards, passed_dst,
+                        overflow | ovf)
+
+            return jax.lax.while_loop(cond, body, carry)
+
+        init = (cars, leading, lastcar, passed, rewards, passed_dst,
+                jnp.asarray(False))
+        out = jax.lax.fori_loop(0, R, road_body, init)
+        return out
+
+    # ------------------------------------------------------------------
+    # the public tick (traffic_env.py:224-248)
+    # ------------------------------------------------------------------
+    def tick(state: SimState, action,
+             sched: Optional[SpawnSchedule] = None) -> SimState:
+        action = jnp.asarray(action).astype(I32)
+        if cfg.learn_switch:
+            change = action
+            phase = jnp.logical_xor(state.phase, action).astype(I32)
+        else:
+            change = jnp.logical_xor(state.phase, action).astype(I32)
+            phase = action
+        elapsed = (state.elapsed + 1) * (change == 0)
+        state = state.replace(phase=phase, elapsed=elapsed,
+                              rewards=jnp.zeros_like(state.rewards),
+                              passed=jnp.zeros_like(state.passed))
+        state, ovf_spawn = _spawn(state, sched)
+        cars = _update_lights(state.cars, state.leading, state.lastcar,
+                              phase, elapsed)
+        cars, waiting, detected = _integrate(cars, state.leading,
+                                             state.lastcar, state.waiting,
+                                             state.detected)
+        (cars, leading, lastcar, passed, rewards, passed_dst, ovf_adv) = \
+            _advance(cars, state.leading, state.lastcar, state.passed,
+                     state.rewards, state.passed_dst)
+        return state.replace(
+            cars=cars, leading=leading, lastcar=lastcar, passed=passed,
+            rewards=rewards, passed_dst=passed_dst, waiting=waiting,
+            detected=detected, steps=state.steps + 1,
+            global_tick=state.global_tick + 1,
+            done=ovf_spawn | ovf_adv)
+
+    # ------------------------------------------------------------------
+    # reset: empty the roads, keep the arrival stream + stale detectors
+    # (traffic_env.py:259-272)
+    # ------------------------------------------------------------------
+    def reset(state: SimState, phase=None) -> SimState:
+        key = state.key
+        if phase is None:
+            key, sub = jax.random.split(key)
+            phase = jax.random.randint(sub, (I,), 0, 2, dtype=I32)
+        cars = state.cars.at[:, :, 0].set(F32(0)).at[:, X, 0].set(INF)
+        return state.replace(
+            cars=cars,
+            leading=jnp.zeros_like(state.leading),
+            lastcar=jnp.zeros_like(state.lastcar),
+            phase=jnp.asarray(phase).astype(I32),
+            elapsed=jnp.zeros_like(state.elapsed),
+            passed=jnp.zeros_like(state.passed),
+            waiting=jnp.zeros_like(state.waiting),
+            passed_dst=jnp.zeros_like(state.passed_dst),
+            rewards=jnp.zeros_like(state.rewards),
+            steps=jnp.int32(0),
+            key=key,
+            done=jnp.asarray(False))
+
+    def init_phase(key):
+        return jax.random.randint(key, (I,), 0, 2, dtype=I32)
+
+    # ------------------------------------------------------------------
+    # observation / reward views
+    # ------------------------------------------------------------------
+    def obs(state: SimState):
+        """int32[2*Rt+2*I]: passed | detected | phase | elapsed
+        (traffic_env.py:372-376)."""
+        return jnp.concatenate([state.passed, state.detected, state.phase,
+                                state.elapsed]).astype(I32)
+
+    def remi(state: SimState):
+        """The remi reward; clears waiting and passed_dst
+        (traffic_env.py:64-78)."""
+        green = pg_t != state.phase[dest_t]
+        waited = state.waiting > 0
+        pd = state.passed_dst[dest_t]
+        minus = waited & ~green & ~pd
+        plus = pd & green & ~waited
+        contrib = jnp.where(minus, F32(-0.5),
+                            jnp.where(plus, F32(0.5), F32(0)))
+        rewards = jnp.zeros(I, F32).at[dest_t].add(contrib)
+        state = state.replace(waiting=jnp.zeros_like(state.waiting),
+                              passed_dst=jnp.zeros_like(state.passed_dst),
+                              rewards=rewards)
+        return state, rewards
+
+    def cars_per_road(state: SimState):
+        """(lastcar - leading) mod RING (traffic_env.py:214-218)."""
+        return (state.lastcar - state.leading) % RING
+
+    def cars_on_roads(state: SimState):
+        """(m, n, 4) occupancy for the greedy baselines
+        (traffic_env.py:255-257)."""
+        per_dir = cars_per_road(state)[:Rt].reshape(4, topo.m, topo.n)
+        return jnp.transpose(per_dir, (1, 2, 0))
+
+    return SimFns(tick=tick, reset=reset, obs=obs, remi=remi,
+                  cars_per_road=cars_per_road, cars_on_roads=cars_on_roads,
+                  init_phase=init_phase)

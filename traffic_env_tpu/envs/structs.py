@@ -1,0 +1,79 @@
+"""Simulator state pytrees.
+
+The whole simulator state for one env instance is a flat pytree of
+fixed-shape arrays, so it can be carried through ``lax.scan``, batched
+with ``vmap`` (batch axis appended *last* so the env-batch dimension
+lands on the TPU's 128-wide vector lanes), donated through jitted train
+steps, and sharded over a device mesh.
+
+Slot layout: the reference keeps CAPACITY=20 slots per road and
+reserves index 0 as a mirror of index -1 so the IDM can read contiguous
+slices (reference README.md:23).  The JAX core instead stores the
+RING = 19 usable slots and performs leader lookup as a circular roll —
+mathematically identical (JAX slot s corresponds to reference slot
+s+1), with no mirror bookkeeping.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..constants import NPARAMS, RING, X
+from ..topology import GridRoad
+
+
+@struct.dataclass
+class SimState:
+    """Per-env simulator state (see module docstring for slot layout)."""
+    cars: jnp.ndarray        # f32[R, NPARAMS, RING] car parameter blocks
+    leading: jnp.ndarray     # i32[R] ring index of the fake-leader slot
+    lastcar: jnp.ndarray     # i32[R] ring index of the most recent car
+    phase: jnp.ndarray       # i32[I] current light phase per intersection
+    elapsed: jnp.ndarray     # i32[I] ticks since last phase change
+    passed: jnp.ndarray      # i32[Rt] cars through the intersection this tick
+    detected: jnp.ndarray    # i32[Rt] cars within 10m of the stop line (stale-capable)
+    waiting: jnp.ndarray     # i32[Rt] accumulated stopped-car counts
+    passed_dst: jnp.ndarray  # bool[I] any passing since last remi reward
+    rewards: jnp.ndarray     # f32[I] per-intersection reward accumulator
+    steps: jnp.ndarray       # i32[] per-episode tick counter (resets)
+    global_tick: jnp.ndarray  # i32[] monotonic tick cursor (persists across resets)
+    spawn_gap: jnp.ndarray   # i32[] remaining empty ticks in the arrival stream
+    key: jnp.ndarray         # PRNG key for on-device spawns / reset phases
+    done: jnp.ndarray        # bool[] overflow flag
+
+
+@struct.dataclass
+class SpawnSchedule:
+    """Host-precomputed arrival stream (bit-exact parity mode).
+
+    Indexed by ``SimState.global_tick`` so the stream persists across
+    episode resets exactly like the reference's generator
+    (traffic_env.py:250-253)."""
+    counts: jnp.ndarray      # i32[T] cars arriving at each tick
+    roads: jnp.ndarray       # i32[T, K] entry road ids (row-padded with 0)
+
+
+def init_state(topo: GridRoad, key) -> SimState:
+    """A fresh, empty state (pre-reset)."""
+    R, Rt, I = topo.roads, topo.train_roads, topo.intersections
+    cars = np.zeros((R, NPARAMS, RING), dtype=np.float32)
+    cars[:, X, 0] = np.inf
+    return SimState(
+        cars=jnp.asarray(cars),
+        leading=jnp.zeros(R, jnp.int32),
+        lastcar=jnp.zeros(R, jnp.int32),
+        phase=jnp.zeros(I, jnp.int32),
+        elapsed=jnp.zeros(I, jnp.int32),
+        passed=jnp.zeros(Rt, jnp.int32),
+        detected=jnp.zeros(Rt, jnp.int32),
+        waiting=jnp.zeros(Rt, jnp.int32),
+        passed_dst=jnp.zeros(I, bool),
+        rewards=jnp.zeros(I, jnp.float32),
+        steps=jnp.int32(0),
+        global_tick=jnp.int32(0),
+        spawn_gap=jnp.int32(-1),   # -1: no gap drawn yet (lazy, like the ref)
+        key=key,
+        done=jnp.asarray(False),
+    )

@@ -47,28 +47,9 @@ import math
 import numpy as np
 
 from ..topology import GridRoad
-
-# Car-parameter row indices, param-major (traffic_env.py:33-34).
-X, V, L, A, DELTA, V0, B, T, S0, W = range(10)
-NPARAMS = 10
-
-CAPACITY = 20
-YELLOW_TICKS = 6
-THRESH = np.float32(0.2)
-PASSING_REWARD = np.float32(0.0)
-OVERFLOW_PENALTY = np.float32(10.0)
-EPS = np.float32(1e-8)
-
-# The single car archetype (traffic_env.py:35-43).
-ARCHETYPES = np.zeros((1, NPARAMS), dtype=np.float32)
-ARCHETYPES[0, V] = 11.11
-ARCHETYPES[0, A] = 3
-ARCHETYPES[0, DELTA] = 4
-ARCHETYPES[0, V0] = 13.89
-ARCHETYPES[0, L] = 4
-ARCHETYPES[0, B] = 6
-ARCHETYPES[0, T] = 2
-ARCHETYPES[0, S0] = 1
+from ..constants import (ARCHETYPES, CAPACITY, EPS, NPARAMS,
+                         OVERFLOW_PENALTY, PASSING_REWARD, THRESH,
+                         YELLOW_TICKS, X, V, L, A, DELTA, V0, B, T, S0, W)
 
 
 def ring_next(i: int) -> int:
@@ -92,7 +73,14 @@ def idm_update(rate: np.float32, ld: np.ndarray, me: np.ndarray) -> np.ndarray:
         np.float32(0),
         v * me[T] + v * (v - ld[V]) / (2 * np.sqrt(me[A] * me[B])))
     gap = ld[X] - me[X] - ld[L]
-    dv = (me[A] * (1 - (v / me[V0]) ** me[DELTA]
+    # The acceleration exponent delta is 4 in every archetype
+    # (traffic_env.py:38).  We define the power as two explicit
+    # squarings rather than pow(): libm powf and XLA's runtime pow
+    # differ by ULPs, while IEEE multiplies are bit-identical across
+    # NumPy, XLA-CPU and TPU — this keeps the whole IDM expressible in
+    # exactly-reproducible primitives.
+    free_flow = np.square(np.square(v / me[V0]))
+    dv = (me[A] * (1 - free_flow
                    - np.square(desired_gap / (gap + EPS)))).astype(np.float32)
     dvr = dv * rate
     dx = rate * v + np.float32(0.5) * dvr * rate
