@@ -137,7 +137,7 @@ def make_sim(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
         tick (traffic_env.py:159-164, 274-283)."""
         cars, leading, lastcar, rewards = (state.cars, state.leading,
                                            state.lastcar, state.rewards)
-        key = state.key
+        key = jax.random.wrap_key_data(state.key)
         gap = state.spawn_gap
         car = archetype.at[W].set(state.steps.astype(F32))
         overflow = jnp.asarray(False)
@@ -160,7 +160,8 @@ def make_sim(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
             gap = jnp.where(en, new_gap, gap)
         gap = gap - (gap > 0)  # the empty tick that ends this round
         return state.replace(cars=cars, lastcar=lastcar, rewards=rewards,
-                             key=key, spawn_gap=gap), overflow
+                             key=jax.random.key_data(key),
+                             spawn_gap=gap), overflow
 
     _spawn = _spawn_on_device if on_device_spawns else _spawn_from_schedule
 
@@ -325,7 +326,8 @@ def make_sim(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
     def reset(state: SimState, phase=None) -> SimState:
         key = state.key
         if phase is None:
-            key, sub = jax.random.split(key)
+            tkey, sub = jax.random.split(jax.random.wrap_key_data(key))
+            key = jax.random.key_data(tkey)
             phase = jax.random.randint(sub, (I,), 0, 2, dtype=I32)
         cars = state.cars.at[:, :, 0].set(F32(0)).at[:, X, 0].set(INF)
         return state.replace(

@@ -1,0 +1,222 @@
+"""The functional traffic environment: simulator core + wrapper algebra.
+
+The reference composes gym wrappers around the simulator
+(traffic_test.py:78-91): an action-repeat "Repeater" holding each
+action for one light period with window-aggregated observations, then
+optional Warmup / Remi / Localize / Squish / History shaping.  Here the
+whole stack is a pair of pure functions over an ``EnvState`` pytree:
+
+    step(state, action[, sched]) -> (state, obs, reward, done, info)
+    reset(state[, sched, phase, actions]) -> (state, obs)
+
+so one agent step is a single XLA program containing the full
+``light_iterations``-tick ``lax.scan``, vmap-able over the env batch
+and shardable over a mesh.
+
+Wrapper-order semantics preserved from the reference: Warmup and the
+Repeater's reset action run *inside* Remi, so waiting/passed_dst
+accumulated during them leak into the first shaped reward
+(traffic_test.py:84-86); history prefill steps run *outside* and do
+consume remi rewards.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import Config
+from ..spaces import GSpace
+from ..topology import GridRoad
+from .core import make_sim
+from .structs import SimState, init_state
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+
+@struct.dataclass
+class EnvState:
+    sim: SimState
+    history: jnp.ndarray  # f32[history, obs_dim] rolling window (history>=1)
+
+
+def _select(pred, new, old):
+    """Pytree select (pred scalar bool): freeze finished lanes."""
+    return jax.tree.map(lambda a, b: jnp.where(pred, a, b), new, old)
+
+
+def _ordered_mean(vec, n: int):
+    """Left-to-right float32 mean over a static-length axis, with the
+    division defined as a reciprocal multiply.
+
+    Defines the summation order explicitly so the oracle (NumPy) and
+    the XLA build round identically; np.mean's pairwise order is an
+    implementation detail we do not inherit, and XLA strength-reduces
+    constant division to reciprocal multiplication anyway."""
+    s = vec[0]
+    for j in range(1, n):
+        s = s + vec[j]
+    return s * F32(1.0 / n)
+
+
+def localize_reward(rew, weight: int, n: int):
+    """Reward mixing: ((w-1)*r_self + sum(r)) * (1/n) * (1/w) per
+    intersection, written as the reference's diag construction
+    (traffic_test.py:66-69) with ordered summation."""
+    # fin() blocks XLA's mul+add->FMA contraction (identity on the
+    # always-finite reward range; see the core's bit-exactness note).
+    fin = lambda p: jax.lax.clamp(F32(np.finfo(np.float32).min), p,
+                                  F32(np.finfo(np.float32).max))
+    d = fin(jnp.diag(rew) * F32(weight - 1))
+    m = d + rew[None, :]
+    s = m[:, 0]
+    for j in range(1, n):
+        s = s + m[:, j]
+    # fin() between the two reciprocal multiplies: XLA folds x*c1*c2
+    # into x*(c1*c2), which rounds differently.
+    return fin(s * F32(1.0 / n)) * F32(1.0 / weight)
+
+
+class EnvFns(NamedTuple):
+    init: callable
+    reset: callable
+    step: callable
+    step_autoreset: callable
+    observation_space: GSpace
+    action_space: GSpace
+    reward_size: int
+    obs_dim: int
+    sim_fns: object
+
+
+def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
+             max_spawns_per_tick: int = 8) -> EnvFns:
+    fns = make_sim(topo, cfg, on_device_spawns=on_device_spawns,
+                   max_spawns_per_tick=max_spawns_per_tick)
+    Rt, I = topo.train_roads, topo.intersections
+    obs_dim = 2 * Rt + I
+    k_hist = max(int(cfg.history), 1)
+    reward_size = 1 if cfg.squish_rewards else I
+    validate = cfg.mode == "validate"
+
+    action_space = GSpace([I], 2)
+    observation_space = (GSpace([k_hist, obs_dim], np.float32(1), F32)
+                         if k_hist > 1 else
+                         GSpace([obs_dim], np.float32(1), F32))
+
+    # ------------------------------------------------------------------
+    def repeater_step(sim: SimState, action, sched):
+        """One light period (traffic_test.py:37-56): hold the action for
+        light_iterations ticks; sum passed, keep last detected, collapse
+        elapsed to a signed normalized scalar; stop ticking at done."""
+        action = jnp.asarray(action).astype(I32)
+        light_secs = None
+        if validate:
+            change = jnp.logical_xor(sim.phase, action).astype(I32)
+            light_secs = ((sim.elapsed + 1) * change).astype(F32) / 2
+
+        def body(carry, _):
+            sim, done, acc_passed, tot_rew = carry
+            nxt = fns.tick(sim, action, sched)
+            live = ~done
+            sim = _select(live, nxt, sim)
+            acc_passed = acc_passed + jnp.where(live, nxt.passed, 0)
+            tot_rew = tot_rew + jnp.where(live, nxt.rewards, F32(0))
+            done = done | (live & nxt.done)
+            return (sim, done, acc_passed, tot_rew), None
+
+        init = (sim, jnp.asarray(False), jnp.zeros(Rt, I32), jnp.zeros(I, F32))
+        (sim, done, acc_passed, tot_rew), _ = jax.lax.scan(
+            body, init, None, length=cfg.light_iterations)
+        mult = (2 * sim.phase - 1).astype(F32)
+        obs = jnp.concatenate([
+            acc_passed.astype(F32),
+            sim.detected.astype(F32),
+            sim.elapsed.astype(F32) * F32(0.01) * mult,
+        ])
+        return sim, obs, tot_rew, done, light_secs
+
+    def shaped_step(sim: SimState, action, sched):
+        """Repeater + Remi/Localize/Squish shaping (traffic_test.py:84-88)."""
+        sim, obs, rew, done, light_secs = repeater_step(sim, action, sched)
+        if cfg.remi:
+            sim, rew = fns.remi(sim)
+        if cfg.local_weight > 1:
+            rew = localize_reward(rew, cfg.local_weight, I)
+        if cfg.squish_rewards:
+            rew = _ordered_mean(rew, I)
+        return sim, obs, rew, done, light_secs
+
+    # ------------------------------------------------------------------
+    def step(state: EnvState, action, sched=None):
+        sim, obs, rew, done, light_secs = shaped_step(state.sim, action, sched)
+        if k_hist > 1:
+            history = jnp.roll(state.history, -1, axis=0).at[-1].set(obs)
+            out = history
+        else:
+            history = obs[None]
+            out = obs
+        info = {"light_times": light_secs} if validate else None
+        return EnvState(sim=sim, history=history), out, rew, done, info
+
+    def reset(state: EnvState, sched=None, phase=None, actions=None):
+        """Full stack reset.  ``phase`` and ``actions`` (the random
+        action stream for repeater-reset / warmup / history-prefill, in
+        that order) may be host-provided for parity tests; otherwise
+        they are drawn from the env's own PRNG key."""
+        n_actions = 1 + cfg.warmup_lights + (k_hist - 1 if k_hist > 1 else 0)
+        sim = state.sim
+        if actions is None:
+            key, k1, k2 = jax.random.split(
+                jax.random.wrap_key_data(sim.key), 3)
+            sim = sim.replace(key=jax.random.key_data(key))
+            if phase is None:
+                phase = jax.random.randint(k1, (I,), 0, 2, dtype=I32)
+            actions = jax.random.randint(k2, (n_actions, I), 0, 2, dtype=I32)
+        else:
+            actions = jnp.asarray(actions).astype(I32)
+        sim = fns.reset(sim, phase)
+        cursor = 0
+        # Repeater reset action + warmup run inside Remi: raw repeater
+        # steps, no reward shaping consumed.
+        sim, obs, _, _, _ = repeater_step(sim, actions[cursor], sched)
+        cursor += 1
+        for _ in range(cfg.warmup_lights):
+            sim, obs, _, _, _ = repeater_step(sim, actions[cursor], sched)
+            cursor += 1
+        if k_hist > 1:
+            rows = [obs]
+            for _ in range(k_hist - 1):
+                sim, obs, _, _, _ = shaped_step(sim, actions[cursor], sched)
+                cursor += 1
+                rows.append(obs)
+            history = jnp.stack(rows)
+            return EnvState(sim=sim, history=history), history
+        history = obs[None]
+        return EnvState(sim=sim, history=history), obs
+
+    def step_autoreset(state: EnvState, action, sched=None):
+        """Batched-training step: finished envs are reset in place (the
+        arrival stream and PRNG persist, like the reference's episode
+        loop calling env.reset())."""
+        new_state, obs, rew, done, info = step(state, action, sched)
+        reset_state, reset_obs = reset(new_state, sched)
+        out_state = _select(done, reset_state, new_state)
+        obs = jnp.where(done, reset_obs, obs)
+        return out_state, obs, rew, done, info
+
+    def init(key) -> EnvState:
+        sim = init_state(topo, key)
+        hist = jnp.zeros((k_hist, obs_dim), F32)
+        return EnvState(sim=sim, history=hist)
+
+    return EnvFns(init=init, reset=reset, step=step,
+                  step_autoreset=step_autoreset,
+                  observation_space=observation_space,
+                  action_space=action_space, reward_size=reward_size,
+                  obs_dim=obs_dim, sim_fns=fns)

@@ -40,7 +40,8 @@ class SimState:
     steps: jnp.ndarray       # i32[] per-episode tick counter (resets)
     global_tick: jnp.ndarray  # i32[] monotonic tick cursor (persists across resets)
     spawn_gap: jnp.ndarray   # i32[] remaining empty ticks in the arrival stream
-    key: jnp.ndarray         # PRNG key for on-device spawns / reset phases
+    key: jnp.ndarray         # u32[2] raw threefry key data (raw so the state
+                             # pytree stays selectable/vmappable uniformly)
     done: jnp.ndarray        # bool[] overflow flag
 
 
@@ -56,7 +57,12 @@ class SpawnSchedule:
 
 
 def init_state(topo: GridRoad, key) -> SimState:
-    """A fresh, empty state (pre-reset)."""
+    """A fresh, empty state (pre-reset).  ``key`` may be a typed PRNG
+    key or raw uint32[2] key data."""
+    import jax
+
+    if hasattr(key, "dtype") and jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key):
+        key = jax.random.key_data(key)
     R, Rt, I = topo.roads, topo.train_roads, topo.intersections
     cars = np.zeros((R, NPARAMS, RING), dtype=np.float32)
     cars[:, X, 0] = np.inf
@@ -74,6 +80,6 @@ def init_state(topo: GridRoad, key) -> SimState:
         steps=jnp.int32(0),
         global_tick=jnp.int32(0),
         spawn_gap=jnp.int32(-1),   # -1: no gap drawn yet (lazy, like the ref)
-        key=key,
+        key=jnp.asarray(key, jnp.uint32),
         done=jnp.asarray(False),
     )
