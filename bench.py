@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Headline benchmark: env-steps/s/chip.
+
+Configuration = BASELINE.md config 3/4 workload: 3x3 grid, 250 m roads,
+4096 lockstep env instances under jit, random policy, on-device Poisson
+spawns, remi reward shaping, lazy auto-reset.  One env-step = one
+simulator tick of one env instance (the base env.step unit; an agent
+step is light_iterations=10 of them).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "env-steps/s/chip", "vs_baseline": N/1e7}
+vs_baseline is measured against the driver-defined target of 10M
+env-steps/s/chip (BASELINE.json:5 — the reference publishes no numbers,
+BASELINE.md).
+"""
+
+import argparse
+import json
+import time
+
+import jax
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--num_envs", type=int, default=4096)
+    p.add_argument("--agent_steps", type=int, default=120,
+                   help="measured agent steps (x10 ticks each)")
+    p.add_argument("--warmup_steps", type=int, default=24)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--platform", type=str, default="")
+    args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from traffic_env_tpu.config import Config, derive_spawn_rate
+    from traffic_env_tpu.envs.rollout import make_batched_env, random_rollout
+    from traffic_env_tpu.topology import GridRoad
+
+    topo = GridRoad(3, 3, 250.0)
+    cfg = Config(history=1, trainer="random",
+                 num_envs=args.num_envs).derive()
+    cfg = derive_spawn_rate(cfg, topo.open_sides(0))
+    benv = make_batched_env(topo, cfg, args.num_envs)
+
+    state = benv.init(jax.random.key(0))
+    state, _ = benv.reset(state)
+
+    roll = jax.jit(lambda st, k, n=args.agent_steps:
+                   random_rollout(benv, st, k, n))
+    warm = jax.jit(lambda st, k, n=args.warmup_steps:
+                   random_rollout(benv, st, k, n))
+
+    key = jax.random.key(1)
+    # Compile + warm up (also fills roads to steady-state occupancy).
+    state, key, rews, dones = warm(state, key)
+    jax.block_until_ready(rews)
+
+    best = 0.0
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        state, key, rews, dones = roll(state, key)
+        jax.block_until_ready(rews)
+        dt = time.perf_counter() - t0
+        ticks = args.agent_steps * cfg.light_iterations * args.num_envs
+        best = max(best, ticks / dt)
+
+    print(json.dumps({
+        "metric": "env_steps_per_sec_per_chip (3x3 grid, "
+                  f"{args.num_envs} envs, random policy)",
+        "value": round(best, 1),
+        "unit": "env-steps/s/chip",
+        "vs_baseline": round(best / 1e7, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

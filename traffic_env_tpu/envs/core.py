@@ -73,9 +73,22 @@ class SimFns(NamedTuple):
 
 
 def make_sim(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
-             max_spawns_per_tick: int = 8) -> SimFns:
+             max_spawns_per_tick: int = 8, handoff: str = "exact",
+             max_crossings_per_tick: int = 3) -> SimFns:
+    """``handoff`` selects the car-transfer kernel:
+
+    * ``"exact"`` — road-index-ordered fori/while nest, bit-exact vs
+      the oracle in every edge case (the parity fixture).
+    * ``"parallel"`` — all roads transfer simultaneously in
+      ``max_crossings_per_tick`` vectorized rounds, exploiting
+      GridRoad's in-degree <= 1 (every road has a unique feeder).  This
+      is the TPU throughput path: provably identical to "exact" except
+      when a transfer lands on an exactly-full buffer in the same tick
+      another car leaves it (an overflow tie; the episode ends either
+      way).  Equivalence is enforced by tests/test_fast_handoff.py.
+    """
     R, Rt, I = topo.roads, topo.train_roads, topo.intersections
-    length = np.float32(topo.road_len if hasattr(topo, "road_len") else topo.length)
+    length = np.float32(topo.length)
     rate = np.float32(cfg.rate)
     lam = np.float32(1.0 / (cfg.cars_per_sec * cfg.rate))
 
@@ -288,6 +301,77 @@ def make_sim(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
         return out
 
     # ------------------------------------------------------------------
+    # hand-off, parallel: all roads at once, K vectorized rounds
+    # ------------------------------------------------------------------
+    prev = topo.prev                       # i32[R], -1 where no feeder
+    prev_c = np.maximum(prev, 0)           # clamped gather index
+    has_feeder = prev >= 0
+    # Sequential-order tiebreak: if a road's feeder has a lower index,
+    # the reference pushes into it BEFORE it pops its own crosser.
+    feeder_first = has_feeder & (prev < np.arange(R))
+    is_train_road = np.arange(R) < Rt
+    road_ids = np.arange(R)
+
+    def _advance_parallel(cars, leading, lastcar, passed, rewards,
+                          passed_dst):
+        overflow = jnp.asarray(False)
+        for _ in range(max_crossings_per_tick):
+            front = ring_inc(leading)                      # i32[R]
+            occupied = leading != lastcar
+            front_x = cars[road_ids, X, front]
+            cross = occupied & (front_x > length)          # bool[R]
+
+            # Receiving side: each road's unique feeder (static map).
+            inc = jnp.asarray(has_feeder) & cross[prev_c]  # bool[R]
+            car_in = cars[prev_c, :, front[prev_c]]        # f32[R, P]
+            car_in = car_in.at[:, X].add(-length)
+
+            # Push slot + overflow (add_car semantics, traffic_env.py:96-114)
+            slot = ring_inc(lastcar)
+            new_leading = jnp.where(cross, front, leading)
+            lead_for_full = jnp.where(jnp.asarray(feeder_first),
+                                      leading, new_leading)
+            full = slot == lead_for_full
+            do_push = inc & ~full
+            ovf = inc & full
+            overflow |= jnp.any(ovf)
+            rewards = rewards.at[jnp.maximum(dest_c, 0)].add(
+                jnp.where(ovf & (dest_c >= 0), -OVERFLOW_PENALTY, F32(0)))
+
+            # Tail clamp against the receiver's current last car.  A
+            # feeder-processed-first receiver sees its pre-pop tail
+            # state, otherwise post-pop (matches sequential order).
+            occ_for_tail = jnp.where(jnp.asarray(feeder_first), occupied,
+                                     new_leading != lastcar)
+            tail = cars[road_ids, :, lastcar]
+            tail_floor = jnp.where(occ_for_tail, tail[:, X] - tail[:, L]
+                                   - tail[:, S0], INF)
+            car_in = car_in.at[:, X].set(
+                jnp.minimum(car_in[:, X], tail_floor))
+
+            # Crossing bookkeeping (only intersection roads score).
+            through = cross & (nxt_c >= 0)
+            passed = passed + jnp.where(through[:Rt], 1, 0)
+            dd = jnp.maximum(dest_c, 0)
+            passed_dst = (passed_dst.astype(I32).at[dd].max(
+                through.astype(I32))).astype(bool)
+            rewards = rewards.at[dd].add(
+                jnp.where(through, PASSING_REWARD, F32(0)))
+
+            # Writes: push at the tail slot, then vacate the old front
+            # with fake-leader params.  Slots are provably disjoint.
+            old_at_slot = cars[road_ids, :, slot]
+            cars = cars.at[road_ids, :, slot].set(
+                jnp.where(do_push[:, None], car_in, old_at_slot))
+            lastcar = jnp.where(do_push, slot, lastcar)
+            fake = cars[road_ids, :, leading]
+            old_at_front = cars[road_ids, :, front]
+            cars = cars.at[road_ids, :, front].set(
+                jnp.where(cross[:, None], fake, old_at_front))
+            leading = new_leading
+        return cars, leading, lastcar, passed, rewards, passed_dst, overflow
+
+    # ------------------------------------------------------------------
     # the public tick (traffic_env.py:224-248)
     # ------------------------------------------------------------------
     def tick(state: SimState, action,
@@ -309,9 +393,10 @@ def make_sim(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
         cars, waiting, detected = _integrate(cars, state.leading,
                                              state.lastcar, state.waiting,
                                              state.detected)
+        advance_fn = _advance if handoff == "exact" else _advance_parallel
         (cars, leading, lastcar, passed, rewards, passed_dst, ovf_adv) = \
-            _advance(cars, state.leading, state.lastcar, state.passed,
-                     state.rewards, state.passed_dst)
+            advance_fn(cars, state.leading, state.lastcar, state.passed,
+                       state.rewards, state.passed_dst)
         return state.replace(
             cars=cars, leading=leading, lastcar=lastcar, passed=passed,
             rewards=rewards, passed_dst=passed_dst, waiting=waiting,

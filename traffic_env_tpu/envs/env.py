@@ -87,6 +87,7 @@ class EnvFns(NamedTuple):
     reset: callable
     step: callable
     step_autoreset: callable
+    step_autoreset_lazy: callable
     observation_space: GSpace
     action_space: GSpace
     reward_size: int
@@ -95,9 +96,9 @@ class EnvFns(NamedTuple):
 
 
 def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
-             max_spawns_per_tick: int = 8) -> EnvFns:
+             max_spawns_per_tick: int = 8, handoff: str = "exact") -> EnvFns:
     fns = make_sim(topo, cfg, on_device_spawns=on_device_spawns,
-                   max_spawns_per_tick=max_spawns_per_tick)
+                   max_spawns_per_tick=max_spawns_per_tick, handoff=handoff)
     Rt, I = topo.train_roads, topo.intersections
     obs_dim = 2 * Rt + I
     k_hist = max(int(cfg.history), 1)
@@ -210,6 +211,18 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
         obs = jnp.where(done, reset_obs, obs)
         return out_state, obs, rew, done, info
 
+    def step_autoreset_lazy(state: EnvState, action, sched=None):
+        """Throughput-mode auto-reset: lanes that finished last window
+        get a fresh (empty, rephased) simulator before this window runs,
+        and the policy's own action drives the first window — skipping
+        the reference's extra random-action reset window.  Semantically
+        a standard batched-RL reset approximation; use step_autoreset
+        for reference-exact reset windows."""
+        sim = state.sim
+        fresh = fns.reset(sim)
+        sim = _select(sim.done, fresh, sim)
+        return step(state.replace(sim=sim), action, sched)
+
     def init(key) -> EnvState:
         sim = init_state(topo, key)
         hist = jnp.zeros((k_hist, obs_dim), F32)
@@ -217,6 +230,7 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
 
     return EnvFns(init=init, reset=reset, step=step,
                   step_autoreset=step_autoreset,
+                  step_autoreset_lazy=step_autoreset_lazy,
                   observation_space=observation_space,
                   action_space=action_space, reward_size=reward_size,
                   obs_dim=obs_dim, sim_fns=fns)
