@@ -1,0 +1,85 @@
+"""Shared training lifecycle: the ``handle_modes`` equivalent.
+
+Builds the batched env for a config, dispatches train/validate modes,
+owns the logdir (wipe + settings.json snapshot on fresh runs, restore
+on --restore), periodic + best + on-exit checkpoints, and the
+validation loop with streaming stats — the reference's lifecycle
+(algorithms/util.py:27-61) rebuilt around jitted batched learners.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import jax
+import numpy as np
+
+from ..config import Config, derive_spawn_rate, entry_spec
+from ..envs.rollout import BatchedEnv, make_batched_env
+from ..topology import GridRoad
+from .. import utils
+from ..utils.checkpoint import (Checkpointer, load_settings, remkdir,
+                                snapshot_settings)
+from ..utils.metrics import MetricWriter
+from ..utils.stats import forever, print_running_stats, write_data
+
+
+def build_env(cfg: Config, n_envs: int | None = None,
+              handoff: str = "parallel") -> tuple[GridRoad, Config, BatchedEnv]:
+    """The make_env() factory (traffic_test.py:78-91), batched."""
+    topo = GridRoad(cfg.grid_m, cfg.grid_n, cfg.road_length)
+    spec = entry_spec(cfg)
+    topo.set_entry_mask(spec)
+    cfg = derive_spawn_rate(cfg, topo.open_sides(spec))
+    benv = make_batched_env(topo, cfg, n_envs or cfg.num_envs,
+                            handoff=handoff)
+    return topo, cfg, benv
+
+
+def handle_modes(cfg: Config, make_state: Callable, train: Callable,
+                 validate: Callable):
+    """Lifecycle dispatch (algorithms/util.py:27-61).
+
+    ``make_state(cfg) -> (ctx, state)`` builds the learner context
+    (env, nets, jitted fns) and initial train state;
+    ``train(cfg, ctx, state, writer, ckpt)`` runs the train loop;
+    ``validate(cfg, ctx, state) -> (reward, info)`` runs one greedy
+    validation episode.
+    """
+    if cfg.restore:
+        cfg = load_settings(cfg.logdir).replace(
+            restore=True, mode=cfg.mode, render=cfg.render).derive()
+    else:
+        remkdir(cfg.logdir)
+        snapshot_settings(cfg, cfg.logdir)
+    ctx, state = make_state(cfg)
+    ckpt = Checkpointer(cfg.logdir)
+    if cfg.restore:
+        state = ckpt.restore(state)
+    if cfg.mode == "validate":
+        data = print_running_stats(
+            forever(lambda: validate(cfg, ctx, state)),
+            max_iterations=None if not cfg.total_episodes
+            else cfg.total_episodes)
+        if cfg.interactive:
+            return data
+        write_data(cfg, *data, outdir=cfg.logdir)
+        return data
+    writer = MetricWriter(cfg.logdir)
+    try:
+        return train(cfg, ctx, state, writer, ckpt)
+    finally:
+        writer.close()
+
+
+def validation_hook(cfg: Config, ckpt: Checkpointer, writer: MetricWriter,
+                    best_threshold: list, episode_num: int, state,
+                    reward: float):
+    """Shared post-validation bookkeeping: avg_r summary, best.ckpt on
+    records (qlearn.py:129-136)."""
+    print("Reward", reward)
+    writer.scalar("avg_r_summary", reward, episode_num)
+    if best_threshold[0] < reward:
+        ckpt.save(state, "best.ckpt")
+        best_threshold[0] = reward

@@ -1,0 +1,222 @@
+"""Double DQN with on-device replay (reference qlearn.py).
+
+Semantics ported: feed-forward residual Q net over a 20-frame history
+stack (qlearn.py:6-20), graph-resident uniform-replay ring
+(qlearn.py:22-50 -> TransitionReplay), three net copies main / chooser /
+target with chooser synced every train step and target every
+``target_update_rate`` (qlearn.py:62-70, 124-126), double-DQN target
+``r - rho + gamma * nd * Q_target(s', argmax Q_chooser(s'))``
+(qlearn.py:71-73), optional average-reward rho with on-policy-gated
+updates (qlearn.py:57-60, 79-83), Adam with global-norm-10 clipping
+(qlearn.py:88-90), linear epsilon annealing stepped per episode.
+
+TPU-native shape: thousands of envs act in lockstep; the whole
+act -> env -> replay-insert -> sample -> SGD pipeline for one episode is
+a single jitted ``lax.scan`` with donated train state — no host
+round-trips inside an episode.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..config import Config
+from ..models import QNet
+from .common import build_env, handle_modes, validation_hook
+from .exploration import anneal, softmax_decision
+from .replay import TransitionReplay
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+
+@struct.dataclass
+class QLearnTS:
+    params_main: Any
+    params_chooser: Any
+    params_target: Any
+    opt_state: Any
+    replay: TransitionReplay
+    env: Any                # batched EnvState
+    obs: jnp.ndarray        # f32[*obs_shape, B] current observation
+    step: jnp.ndarray       # i32[] global agent steps
+    train_steps: jnp.ndarray  # i32[] SGD steps taken
+    episode: jnp.ndarray    # i32[] episodes finished (drives annealing)
+    rho: jnp.ndarray        # f32[] average-reward estimate
+    key: jnp.ndarray
+
+
+class QLearnCtx(NamedTuple):
+    benv: Any
+    net: QNet
+    tx: Any
+    run_episode: Any
+    greedy_episode: Any
+    cfg: Config
+
+
+def _obs_bf(obs):
+    """(…, B) trailing-batch observation -> batch-first for the net."""
+    return jnp.moveaxis(obs, -1, 0)
+
+
+def make_fns(cfg: Config, benv):
+    I = benv.n_intersections
+    B = benv.n_envs
+    net = QNet(n_actions=I)
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.adam(cfg.learning_rate))
+    obs_shape = benv.env.observation_space.shape  # (k_hist, obs_dim)
+
+    def act(params, obs, eps, key, greedy=False):
+        q = net.apply(params, _obs_bf(obs))        # (B, I, 2)
+        if greedy:
+            return jnp.argmax(q, axis=-1).astype(I32), q
+        return softmax_decision(key, q, eps, cfg.exploration), q
+
+    def td_train(ts: QLearnTS, key):
+        s, a, r, nd, s1 = ts.replay.sample(key, cfg.batch_size)
+        qc = net.apply(ts.params_chooser, s1)
+        greedy1 = jnp.argmax(qc, axis=-1)
+        qt = net.apply(ts.params_target, s1)
+        next_q = jnp.take_along_axis(qt, greedy1[..., None], -1)[..., 0]
+        target = jax.lax.stop_gradient(
+            r - ts.rho + cfg.gamma * nd * next_q)
+
+        def loss_fn(pm):
+            qm = net.apply(pm, s)
+            pred = jnp.take_along_axis(qm, a[..., None], -1)[..., 0]
+            diff = target - pred
+            return jnp.mean(jnp.square(diff)), (diff, qm, pred)
+
+        (loss, (diff, qm, pred)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(ts.params_main)
+        updates, opt_state = tx.update(grads, ts.opt_state, ts.params_main)
+        params_main = optax.apply_updates(ts.params_main, updates)
+        rho = ts.rho
+        if cfg.use_avg:
+            on_policy = (a == jnp.argmax(qm, axis=-1)).astype(F32)
+            n_on = jnp.maximum(jnp.sum(on_policy), 1.0)
+            rho = rho + cfg.beta * jnp.sum(on_policy * diff) / n_on
+        # chooser <- main every train step (qlearn.py:124-126)
+        ts = ts.replace(params_main=params_main,
+                        params_chooser=params_main,
+                        opt_state=opt_state, rho=rho,
+                        train_steps=ts.train_steps + 1)
+        # target <- main every target_update_rate train steps
+        sync = ts.train_steps % cfg.target_update_rate == 0
+        params_target = jax.tree.map(
+            lambda t, m: jnp.where(sync, m, t),
+            ts.params_target, params_main)
+        return ts.replace(params_target=params_target), \
+            (loss, jnp.max(pred))
+
+    def agent_step(ts: QLearnTS, _):
+        key, k_act, k_train = jax.random.split(ts.key, 3)
+        eps = anneal(cfg.start_eps, cfg.end_eps, cfg.annealing_episodes,
+                     ts.episode)
+        a, _ = act(ts.params_main, ts.obs, eps, k_act)   # (B, I)
+        env, obs1, rew, done, _ = benv.step_autoreset_lazy(
+            ts.env, jnp.moveaxis(a, 0, -1))
+        replay = ts.replay.add_batch(
+            _obs_bf(ts.obs), a, jnp.moveaxis(rew, -1, 0),
+            done, _obs_bf(obs1))
+        ts = ts.replace(env=env, obs=obs1, replay=replay, key=key,
+                        step=ts.step + 1)
+        ready = (replay.idx >= replay.size) & \
+            (ts.step % cfg.train_rate == 0)
+        ts, (loss, max_q) = jax.lax.cond(
+            ready, lambda t: td_train(t, k_train),
+            lambda t: (t, (F32(0), F32(0))), ts)
+        return ts, (jnp.mean(rew), loss, max_q)
+
+    @jax.jit
+    def run_episode(ts: QLearnTS):
+        ts, (rews, losses, max_qs) = jax.lax.scan(
+            agent_step, ts, None, length=cfg.episode_len)
+        return ts.replace(episode=ts.episode + 1), \
+            (jnp.mean(rews), jnp.mean(losses), jnp.max(max_qs))
+
+    @jax.jit
+    def greedy_episode(ts: QLearnTS):
+        """Greedy validation rollout; returns the reference's
+        episode-reward scalar (discounted mean reward, util.py:68-94),
+        averaged over the env batch."""
+        def body(carry, t):
+            env, obs, total = carry
+            a, _ = act(ts.params_main, obs, F32(0), None, greedy=True)
+            env, obs1, rew, done, _ = benv.step_autoreset_lazy(
+                env, jnp.moveaxis(a, 0, -1))
+            disc = (cfg.gamma ** t.astype(F32)) if cfg.print_discounted else 1.0
+            total = total + jnp.mean(rew) * disc
+            return (env, obs1, total), None
+
+        (env, obs, total), _ = jax.lax.scan(
+            body, (ts.env, ts.obs, F32(0)),
+            jnp.arange(cfg.episode_len))
+        return total
+
+    return net, tx, run_episode, greedy_episode, act
+
+
+def make_state(cfg: Config):
+    topo, cfg, benv = build_env(cfg)
+    net, tx, run_episode, greedy_episode, act = make_fns(cfg, benv)
+    B = benv.n_envs
+    key = jax.random.key(cfg.seed)
+    k_env, k_net, k_ts = jax.random.split(key, 3)
+    env = benv.init(k_env)
+    env, obs = jax.jit(benv.reset)(env)
+    obs_shape = benv.env.observation_space.shape
+    params = net.init(k_net, jnp.zeros((1, *obs_shape), F32))
+    ts = QLearnTS(
+        params_main=params,
+        params_chooser=params,
+        params_target=params,
+        opt_state=tx.init(params),
+        replay=TransitionReplay.create(
+            cfg.buffer_size, obs_shape, benv.n_intersections,
+            benv.env.reward_size),
+        env=env, obs=obs,
+        step=jnp.int32(0), train_steps=jnp.int32(0),
+        episode=jnp.int32(0), rho=jnp.float32(0),
+        key=k_ts)
+    ctx = QLearnCtx(benv=benv, net=net, tx=tx, run_episode=run_episode,
+                    greedy_episode=greedy_episode, cfg=cfg)
+    return ctx, ts
+
+
+def train(cfg: Config, ctx: QLearnCtx, ts: QLearnTS, writer, ckpt):
+    best = [cfg.best_threshold]
+    episode = int(ts.episode)
+    try:
+        while cfg.total_episodes is None or episode < cfg.total_episodes:
+            ts, (mean_r, loss, max_q) = ctx.run_episode(ts)
+            episode = int(ts.episode)
+            if episode % cfg.summary_rate == 0:
+                writer.scalar("loss", float(loss), episode)
+                writer.scalar("max_predicted_q", float(max_q), episode)
+                writer.scalar("mean_reward", float(mean_r), episode)
+            if episode % cfg.validate_rate == 0:
+                rew = float(ctx.greedy_episode(ts))
+                validation_hook(cfg, ckpt, writer, best, episode, ts, rew)
+            if episode % cfg.save_rate == 0:
+                ckpt.save(ts)
+    finally:
+        ckpt.save(ts)
+    return ts
+
+
+def validate(cfg: Config, ctx: QLearnCtx, ts: QLearnTS):
+    return float(ctx.greedy_episode(ts)), None
+
+
+def run(cfg: Config):
+    return handle_modes(cfg, make_state, train, validate)

@@ -74,7 +74,8 @@ class SimFns(NamedTuple):
 
 def make_sim(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
              max_spawns_per_tick: int = 8, handoff: str = "exact",
-             max_crossings_per_tick: int = 3) -> SimFns:
+             max_crossings_per_tick: int = 3,
+             _bench_phases: frozenset | None = None) -> SimFns:
     """``handoff`` selects the car-transfer kernel:
 
     * ``"exact"`` — road-index-ordered fori/while nest, bit-exact vs
@@ -387,16 +388,28 @@ def make_sim(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
         state = state.replace(phase=phase, elapsed=elapsed,
                               rewards=jnp.zeros_like(state.rewards),
                               passed=jnp.zeros_like(state.passed))
-        state, ovf_spawn = _spawn(state, sched)
-        cars = _update_lights(state.cars, state.leading, state.lastcar,
-                              phase, elapsed)
-        cars, waiting, detected = _integrate(cars, state.leading,
-                                             state.lastcar, state.waiting,
-                                             state.detected)
-        advance_fn = _advance if handoff == "exact" else _advance_parallel
-        (cars, leading, lastcar, passed, rewards, passed_dst, ovf_adv) = \
-            advance_fn(cars, state.leading, state.lastcar, state.passed,
-                       state.rewards, state.passed_dst)
+        ph = _bench_phases
+        ovf_spawn = jnp.asarray(False)
+        if ph is None or "spawn" in ph:
+            state, ovf_spawn = _spawn(state, sched)
+        cars = state.cars
+        if ph is None or "lights" in ph:
+            cars = _update_lights(cars, state.leading, state.lastcar,
+                                  phase, elapsed)
+        waiting, detected = state.waiting, state.detected
+        if ph is None or "idm" in ph:
+            cars, waiting, detected = _integrate(
+                cars, state.leading, state.lastcar, waiting, detected)
+        if ph is None or "advance" in ph:
+            advance_fn = _advance if handoff == "exact" else _advance_parallel
+            (cars, leading, lastcar, passed, rewards, passed_dst,
+             ovf_adv) = advance_fn(cars, state.leading, state.lastcar,
+                                   state.passed, state.rewards,
+                                   state.passed_dst)
+        else:
+            leading, lastcar = state.leading, state.lastcar
+            passed, rewards = state.passed, state.rewards
+            passed_dst, ovf_adv = state.passed_dst, jnp.asarray(False)
         return state.replace(
             cars=cars, leading=leading, lastcar=lastcar, passed=passed,
             rewards=rewards, passed_dst=passed_dst, waiting=waiting,

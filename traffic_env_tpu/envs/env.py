@@ -182,21 +182,24 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
         else:
             actions = jnp.asarray(actions).astype(I32)
         sim = fns.reset(sim, phase)
-        cursor = 0
         # Repeater reset action + warmup run inside Remi: raw repeater
-        # steps, no reward shaping consumed.
-        sim, obs, _, _, _ = repeater_step(sim, actions[cursor], sched)
-        cursor += 1
-        for _ in range(cfg.warmup_lights):
-            sim, obs, _, _, _ = repeater_step(sim, actions[cursor], sched)
-            cursor += 1
+        # steps, no reward shaping consumed.  Scanned, not unrolled, to
+        # keep compile time flat in warmup/history depth.
+        sim, obs, _, _, _ = repeater_step(sim, actions[0], sched)
+        if cfg.warmup_lights > 0:
+            def wbody(sim, a):
+                sim, obs, _, _, _ = repeater_step(sim, a, sched)
+                return sim, obs
+            sim, w_obs = jax.lax.scan(
+                wbody, sim, actions[1:1 + cfg.warmup_lights])
+            obs = w_obs[-1]
         if k_hist > 1:
-            rows = [obs]
-            for _ in range(k_hist - 1):
-                sim, obs, _, _, _ = shaped_step(sim, actions[cursor], sched)
-                cursor += 1
-                rows.append(obs)
-            history = jnp.stack(rows)
+            def hbody(sim, a):
+                sim, obs, _, _, _ = shaped_step(sim, a, sched)
+                return sim, obs
+            sim, rows = jax.lax.scan(
+                hbody, sim, actions[1 + cfg.warmup_lights:])
+            history = jnp.concatenate([obs[None], rows], axis=0)
             return EnvState(sim=sim, history=history), history
         history = obs[None]
         return EnvState(sim=sim, history=history), obs
