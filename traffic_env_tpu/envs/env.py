@@ -96,9 +96,20 @@ class EnvFns(NamedTuple):
 
 
 def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
-             max_spawns_per_tick: int = 8, handoff: str = "exact") -> EnvFns:
-    fns = make_sim(topo, cfg, on_device_spawns=on_device_spawns,
-                   max_spawns_per_tick=max_spawns_per_tick, handoff=handoff)
+             max_spawns_per_tick: int = 8, core: str = "exact") -> EnvFns:
+    """``core``: "exact" (gather-based oracle-parity kernels),
+    "parallel" (gather-based, relaxed-order hand-off) or "fast" (the
+    dense compact TPU core; see fast_core.py)."""
+    if core == "fast":
+        from .fast_core import init_state_compact, make_sim_fast
+        fns = make_sim_fast(topo, cfg, on_device_spawns=on_device_spawns,
+                            max_spawns_per_tick=max_spawns_per_tick)
+        init_sim = lambda key: init_state_compact(topo, key)
+    else:
+        fns = make_sim(topo, cfg, on_device_spawns=on_device_spawns,
+                       max_spawns_per_tick=max_spawns_per_tick,
+                       handoff=core)
+        init_sim = lambda key: init_state(topo, key)
     Rt, I = topo.train_roads, topo.intersections
     obs_dim = 2 * Rt + I
     k_hist = max(int(cfg.history), 1)
@@ -227,7 +238,7 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
         return step(state.replace(sim=sim), action, sched)
 
     def init(key) -> EnvState:
-        sim = init_state(topo, key)
+        sim = init_sim(key)
         hist = jnp.zeros((k_hist, obs_dim), F32)
         return EnvState(sim=sim, history=hist)
 

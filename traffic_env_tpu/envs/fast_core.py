@@ -1,0 +1,457 @@
+"""The dense TPU simulator core: the throughput path.
+
+Same trajectory semantics as envs/core.py (and therefore the NumPy
+oracle) but engineered for the TPU memory system.  All code here is
+written unbatched and batched with ``vmap`` (trailing batch axis); the
+design rules are about what vmap turns each op into:
+
+* **No dynamic scatters/gathers.**  XLA lowers vmapped per-lane dynamic
+  scatter/gather to serialized loops on TPU (measured: the gather-based
+  hand-off ran at 0.03M ticks/s vs 3M for the elementwise IDM).  Every
+  update here is a masked plane select with one-hot masks from
+  ring-distance arithmetic; every per-road scalar extraction is a
+  masked reduction over the 19-slot axis; every per-intersection
+  scoring accumulation is a one-hot reduction over the 48-road axis
+  (exact: rewards are multiples of 0.5/10, associativity-safe).
+* **Compact car state.**  Every car shares the single reference
+  archetype (traffic_env.py:35-43), so only x / v / w (position, speed,
+  spawn tick) vary per car; the seven other IDM parameters are compiled
+  constants.  The fake-leader car differs (l = v = 0): its slot is ring
+  distance 0, so the first follower (distance 1) selects l=0 by mask —
+  bit-identical values, one third the memory traffic.
+* **Single-pass hand-off.**  The crossing *prefix* of each road's queue
+  (cars past the road end, front-first, as the reference's while-loop
+  pops them) transfers at once: pointers advance by the prefix count,
+  chained spawn-position clamps run as short scalar recurrences over
+  (roads,) values, pops/pushes are two masked plane writes.
+  Order-equivalent to the reference's road-ordered loop because each
+  road has a unique feeder (GridRoad in-degree <= 1) and a transferred
+  car can never re-cross in the same tick (max displacement/tick <<
+  road length); full-buffer ties follow the feeder-index rule.
+
+Bit-exactness: the float op sequence per car is identical to the
+oracle's (same FMA-contraction guards as envs/core.py), so this core
+passes the same exact-trajectory tests (tests/test_fast_core.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..constants import (ARCHETYPES, DETECT_RANGE, EPS, OVERFLOW_PENALTY,
+                         PASSING_REWARD, RING, THRESH, YELLOW_TICKS,
+                         X, V, L, A, DELTA, V0, B, T, S0, W)
+from ..topology import GridRoad
+from .core import SimFns
+from .structs import SimState, SpawnSchedule
+
+I32 = jnp.int32
+F32 = jnp.float32
+INF = jnp.float32(np.inf)
+FMAX = np.finfo(np.float32).max
+CX, CV, CW = 0, 1, 2  # compact car rows
+
+# Archetype constants (single archetype: traffic_env.py:35-43).
+AR = ARCHETYPES[0]
+C_V0, C_A, C_B = np.float32(AR[V0]), np.float32(AR[A]), np.float32(AR[B])
+C_T, C_S0, C_L = np.float32(AR[T]), np.float32(AR[S0]), np.float32(AR[L])
+C_SPAWN_V, C_SPAWN_X = np.float32(AR[V]), np.float32(AR[X])
+assert ARCHETYPES.shape[0] == 1, "compact core assumes a single archetype"
+assert float(AR[DELTA]) == 4.0
+
+
+def nn_(p):
+    """max(p, 0) — blocks XLA's FMA contraction on nonneg products."""
+    return jnp.maximum(p, F32(0))
+
+
+def fin_(p):
+    """Finite clamp — blocks FMA contraction on signed products."""
+    return jax.lax.clamp(F32(-FMAX), p, F32(FMAX))
+
+
+def init_state_compact(topo: GridRoad, key) -> SimState:
+    """Compact-state twin of structs.init_state (cars rows: x, v, w)."""
+    if hasattr(key, "dtype") and jax.dtypes.issubdtype(
+            key.dtype, jax.dtypes.prng_key):
+        key = jax.random.key_data(key)
+    R, Rt, I = topo.roads, topo.train_roads, topo.intersections
+    cars = np.zeros((R, 3, RING), dtype=np.float32)
+    cars[:, CX, 0] = np.inf
+    return SimState(
+        cars=jnp.asarray(cars),
+        leading=jnp.zeros(R, I32), lastcar=jnp.zeros(R, I32),
+        phase=jnp.zeros(I, I32), elapsed=jnp.zeros(I, I32),
+        passed=jnp.zeros(Rt, I32), detected=jnp.zeros(Rt, I32),
+        waiting=jnp.zeros(Rt, I32),
+        passed_dst=jnp.zeros(I, bool), rewards=jnp.zeros(I, jnp.float32),
+        steps=jnp.int32(0), global_tick=jnp.int32(0),
+        spawn_gap=jnp.int32(-1), key=jnp.asarray(key, jnp.uint32),
+        done=jnp.asarray(False))
+
+
+def make_sim_fast(topo: GridRoad, cfg: Config,
+                  on_device_spawns: bool = True,
+                  max_spawns_per_tick: int = 8,
+                  max_crossings_per_tick: int = 4) -> SimFns:
+    R, Rt, I = topo.roads, topo.train_roads, topo.intersections
+    S = RING
+    length = np.float32(topo.length)
+    rate = np.float32(cfg.rate)
+    lam = np.float32(1.0 / (cfg.cars_per_sec * cfg.rate))
+    Kc = max_crossings_per_tick
+    Ks = max_spawns_per_tick
+
+    dest_t = topo.dest[:Rt]
+    pg_t = topo.phase_group[:Rt]
+    nxt_t = topo.nxt[:Rt]
+    prev = topo.prev
+    prev_c = np.maximum(prev, 0)
+    has_feeder = prev >= 0
+    feeder_first = has_feeder & (prev < np.arange(R))
+    is_train = np.arange(R) < Rt
+    entry = topo.entrypoints
+    E = len(entry)
+
+    slots = jnp.arange(S)[None, :]                 # (1, S)
+    # one-hot scoring matrices: (I, R) / (I, Rt) / (I, E)
+    dest1h = (topo.dest[None, :] == np.arange(I)[:, None])
+    dest1h_t = dest1h[:, :Rt]
+    dest1h_e = dest1h[:, entry]
+
+    def seg_add(rewards, per_road, onehot):
+        """rewards[i] += sum over roads with dest i (one-hot reduce;
+        exact for the multiple-of-0.5 reward increments)."""
+        return rewards + jnp.sum(jnp.where(jnp.asarray(onehot),
+                                           per_road[None, :], F32(0)),
+                                 axis=1)
+
+    def dist_from(idx):
+        """(R, S) ring distance of every slot from per-road index."""
+        return (slots - idx[:, None]) % S
+
+    def pick(plane, mask):
+        """Extract one value per road from a (R, S) plane: max over the
+        masked slot (exactly one slot is selected; -inf elsewhere)."""
+        return jnp.max(jnp.where(mask, plane, -INF), axis=1)
+
+    # ------------------------------------------------------------------
+    # lights (traffic_env.py:80-94)
+    # ------------------------------------------------------------------
+    def update_lights(cars, leading, lastcar, phase, elapsed):
+        x = cars[:, CX]
+        red_or_yellow = ((pg_t == phase[dest_t])
+                         | (elapsed[dest_t] < YELLOW_TICKS))
+        last_mask = dist_from(lastcar) == 0          # (R, S)
+        next_x = pick(x[nxt_t], last_mask[nxt_t])    # (Rt,)
+        next_empty = leading[nxt_t] == lastcar[nxt_t]
+        fake_x = jnp.where(red_or_yellow, length,
+                           jnp.where(next_empty, INF, next_x + length))
+        fake_full = jnp.concatenate([fake_x, jnp.zeros(R - Rt, F32)])
+        write = (dist_from(leading) == 0) & jnp.asarray(is_train)[:, None]
+        return cars.at[:, CX].set(
+            jnp.where(write, fake_full[:, None], x))
+
+    # ------------------------------------------------------------------
+    # IDM integration (traffic_env.py:50-62, 187-212), compact
+    # ------------------------------------------------------------------
+    def integrate(cars, leading, lastcar, waiting, detected, one):
+        x, v = cars[:, CX], cars[:, CV]
+        ld_x = jnp.roll(x, 1, axis=1)
+        ld_v = jnp.roll(v, 1, axis=1)
+        d = dist_from(leading)
+        ncars = (lastcar - leading) % S
+        mask = (d >= 1) & (d <= ncars[:, None])
+        # fake leader has l = 0; every real leader is the archetype
+        ld_l = jnp.where(d == 1, F32(0), C_L)
+
+        # ``one`` is a runtime 1.0: multiplying the constant divisors by
+        # it stops XLA from strength-reducing division-by-constant into
+        # reciprocal multiplication (1-2 ULP off the oracle's division).
+        den = (2 * jnp.sqrt(C_A * C_B)) * one
+        v0 = C_V0 * one
+        desired = C_S0 + jnp.maximum(
+            F32(0), nn_(v * C_T) + v * (v - ld_v) / den)
+        gap = ld_x - x - ld_l
+        free_flow = nn_(jnp.square(jnp.square(v / v0)))
+        dv = C_A * (1 - free_flow - nn_(jnp.square(desired / (gap + EPS))))
+        dvr = dv * rate
+        dx = nn_(rate * v) + fin_(F32(0.5) * dvr * rate)
+        new_x = jnp.where(mask, x + nn_((dx > 0) * dx), x)
+        new_v = jnp.where(mask, jnp.maximum(F32(0), v + fin_(dvr)), v)
+        cars = cars.at[:, CX].set(new_x).at[:, CV].set(new_v)
+
+        wrapped = (leading > lastcar)[:, None]
+        in_second = wrapped & (slots <= lastcar[:, None])
+        metric = jnp.where(in_second, new_x, new_v)  # ref bug kept: x-test
+        wait_inc = jnp.sum(mask & (metric < THRESH), axis=1, dtype=I32)[:Rt]
+        det_cnt = jnp.sum(mask & (new_x > length - DETECT_RANGE), axis=1,
+                          dtype=I32)[:Rt]
+        occupied = (ncars > 0)[:Rt]
+        waiting = waiting + jnp.where(occupied, wait_inc, 0)
+        detected = jnp.where(occupied, det_cnt, detected)
+        return cars, waiting, detected
+
+    # ------------------------------------------------------------------
+    # hand-off (traffic_env.py:96-157), dense single pass
+    # ------------------------------------------------------------------
+    def advance(cars, leading, lastcar, passed, rewards, passed_dst):
+        x, v, w = cars[:, CX], cars[:, CV], cars[:, CW]
+        d = dist_from(leading)
+        ncars = (lastcar - leading) % S
+        follower = (d >= 1) & (d <= ncars[:, None])
+        beyond = follower & (x > length)
+
+        # crossing prefix per road (front-first, as the while loop pops)
+        run = None
+        prefix = []
+        for k in range(1, Kc + 1):
+            ck = jnp.any(beyond & (d == k), axis=1)
+            run = ck if run is None else run & ck
+            prefix.append(run)
+        count = sum(p.astype(I32) for p in prefix)          # (R,)
+
+        # k-th crosser's rows
+        x_k = [pick(x, d == k) - length for k in range(1, Kc + 1)]
+        v_k = [pick(v, d == k) for k in range(1, Kc + 1)]
+        w_k = [pick(w, d == k) for k in range(1, Kc + 1)]
+
+        # pops: vacated slots [1..count] inherit the fake-leader rows
+        lead_mask = d == 0
+        fake_rows = jnp.stack(
+            [pick(cars[:, r], lead_mask) for r in range(3)], axis=1)
+        pop_mask = (d >= 1) & (d <= count[:, None])
+        cars = jnp.where(pop_mask[:, None], fake_rows[:, :, None], cars)
+        new_leading = (leading + count) % S
+
+        # receiving side (static feeder map; exit-road crossers vanish)
+        thr = count * jnp.asarray(is_train, I32)
+        count_in = jnp.where(jnp.asarray(has_feeder), thr[prev_c], 0)
+        cap_lead = jnp.where(jnp.asarray(feeder_first), leading, new_leading)
+        free = (cap_lead - 1 - lastcar) % S
+        accepted = jnp.minimum(count_in, free)
+        n_overflow = count_in - accepted
+        overflow = jnp.any(n_overflow > 0)
+        rewards = seg_add(
+            rewards, -OVERFLOW_PENALTY * n_overflow.astype(F32), dest1h)
+
+        # chained clamp of incoming positions against the receiver tail
+        tail_x = pick(x, dist_from(lastcar) == 0)
+        occ_for_tail = jnp.where(jnp.asarray(feeder_first),
+                                 leading != lastcar,
+                                 new_leading != lastcar)
+        floor = jnp.where(occ_for_tail, tail_x - C_L - C_S0, INF)
+        xs_in, vs_in, ws_in = [], [], []
+        for k in range(Kc):
+            xk = jnp.minimum(x_k[k][prev_c], floor)
+            xs_in.append(xk)
+            vs_in.append(v_k[k][prev_c])
+            ws_in.append(w_k[k][prev_c])
+            floor = xk - C_L - C_S0
+
+        # pushes: slots at distance [1..accepted] behind the tail
+        dl = dist_from(lastcar)
+        push_mask = (dl >= 1) & (dl <= accepted[:, None])
+        xp = jnp.zeros_like(x)
+        vp = jnp.zeros_like(x)
+        wp = jnp.zeros_like(x)
+        for k in range(Kc):
+            m = dl == (k + 1)
+            xp = jnp.where(m, xs_in[k][:, None], xp)
+            vp = jnp.where(m, vs_in[k][:, None], vp)
+            wp = jnp.where(m, ws_in[k][:, None], wp)
+        cars = jnp.where(push_mask[:, None],
+                         jnp.stack([xp, vp, wp], axis=1), cars)
+        new_lastcar = (lastcar + accepted) % S
+
+        # scoring (traffic_env.py:127-129)
+        passed = passed + thr[:Rt]
+        pd = passed_dst | jnp.any(
+            jnp.where(jnp.asarray(dest1h_t), (thr[:Rt] > 0)[None, :],
+                      False), axis=1)
+        if float(PASSING_REWARD) != 0.0:
+            rewards = seg_add(rewards, PASSING_REWARD * thr.astype(F32),
+                              dest1h)
+        return (cars, new_leading, new_lastcar, passed, rewards, pd,
+                overflow)
+
+    # ------------------------------------------------------------------
+    # spawning, dense over the entry-road block
+    # ------------------------------------------------------------------
+    entry_index = np.zeros(R, np.int32)
+    entry_index[entry] = np.arange(E)
+
+    def _spawn_common(cars, leading, lastcar, rewards, steps_f,
+                      road_1h, n_spawn):
+        """Insert up to Ks cars this tick.  ``road_1h``: (Ks, E) bool
+        one-hot over entry roads per attempt; ``n_spawn``: i32 count."""
+        ce = cars[entry]                                # (E, 3, S) static
+        xe = ce[:, CX]
+        lead_e, last_e = leading[entry], lastcar[entry]
+        d_last = (slots - last_e[:, None]) % S
+        tail_x = jnp.max(jnp.where(d_last == 0, xe, -INF), axis=1)
+        has_tail = ((last_e - lead_e) % S) > 0
+        floor_e = jnp.where(has_tail, tail_x - C_L - C_S0, INF)
+        free_e = (lead_e - 1 - last_e) % S
+
+        placed = jnp.zeros(E, I32)
+        overflow = jnp.asarray(False)
+        xvals, accepted = [], []
+        for j in range(Ks):
+            attempt = road_1h[j] & (j < n_spawn)        # (E,) bool
+            full = placed >= free_e
+            ok = attempt & ~full
+            xj = jnp.minimum(C_SPAWN_X, floor_e)
+            xvals.append(xj)
+            accepted.append(ok)
+            floor_e = jnp.where(ok, xj - C_L - C_S0, floor_e)
+            ovf_j = attempt & full
+            overflow = overflow | jnp.any(ovf_j)
+            rewards = seg_add(rewards,
+                              jnp.where(ovf_j, -OVERFLOW_PENALTY, F32(0)),
+                              dest1h_e)
+            placed = placed + ok.astype(I32)
+
+        xplane = jnp.zeros_like(xe)
+        for j in range(Ks):
+            pos = sum(a.astype(I32) for a in accepted[:j + 1])  # (E,)
+            m = (d_last == pos[:, None]) & accepted[j][:, None]
+            xplane = jnp.where(m, xvals[j][:, None], xplane)
+        pm = (d_last >= 1) & (d_last <= placed[:, None])
+        newrows = jnp.stack([xplane,
+                             jnp.full_like(xplane, C_SPAWN_V),
+                             jnp.full_like(xplane, steps_f)], axis=1)
+        ce = jnp.where(pm[:, None], newrows, ce)
+        cars = cars.at[entry].set(ce)
+        lastcar = lastcar.at[entry].set((last_e + placed) % S)
+        return cars, lastcar, rewards, overflow
+
+    def spawn_device(state: SimState, _sched):
+        key = jax.random.wrap_key_data(state.key)
+        gap = state.spawn_gap
+        key, k0 = jax.random.split(key)
+        gap = jnp.where(
+            gap < 0,
+            jnp.round(jax.random.exponential(k0, dtype=F32) * lam)
+            .astype(I32), gap)
+        road_rows, n = [], jnp.int32(0)
+        for _ in range(Ks):
+            key, k1, k2 = jax.random.split(key, 3)
+            en = gap == 0
+            ridx = jax.random.randint(k1, (), 0, E)
+            road_rows.append(jnp.arange(E) == ridx)
+            new_gap = jnp.round(
+                jax.random.exponential(k2, dtype=F32) * lam).astype(I32)
+            n = n + en.astype(I32)
+            gap = jnp.where(en, new_gap, gap)
+        gap = gap - (gap > 0)
+        cars, lastcar, rewards, ovf = _spawn_common(
+            state.cars, state.leading, state.lastcar, state.rewards,
+            state.steps.astype(F32), jnp.stack(road_rows), n)
+        return state.replace(cars=cars, lastcar=lastcar, rewards=rewards,
+                             key=jax.random.key_data(key),
+                             spawn_gap=gap), ovf
+
+    def spawn_schedule(state: SimState, sched: SpawnSchedule):
+        count = jnp.minimum(sched.counts[state.global_tick], Ks)
+        roads_row = sched.roads[state.global_tick]      # (K,)
+        k = sched.roads.shape[-1]
+        eidx = jnp.asarray(entry_index)[roads_row]
+        rows = [jnp.arange(E) == eidx[j] for j in range(min(k, Ks))]
+        rows += [jnp.zeros(E, bool)] * (Ks - len(rows))
+        cars, lastcar, rewards, ovf = _spawn_common(
+            state.cars, state.leading, state.lastcar, state.rewards,
+            state.steps.astype(F32), jnp.stack(rows), count)
+        return state.replace(cars=cars, lastcar=lastcar,
+                             rewards=rewards), ovf
+
+    _spawn = spawn_device if on_device_spawns else spawn_schedule
+
+    # ------------------------------------------------------------------
+    # tick / reset / views (same surface as envs.core.make_sim)
+    # ------------------------------------------------------------------
+    def tick(state: SimState, action,
+             sched: Optional[SpawnSchedule] = None) -> SimState:
+        action = jnp.asarray(action).astype(I32)
+        if cfg.learn_switch:
+            change = action
+            phase = jnp.logical_xor(state.phase, action).astype(I32)
+        else:
+            change = jnp.logical_xor(state.phase, action).astype(I32)
+            phase = action
+        elapsed = (state.elapsed + 1) * (change == 0)
+        state = state.replace(phase=phase, elapsed=elapsed,
+                              rewards=jnp.zeros_like(state.rewards),
+                              passed=jnp.zeros_like(state.passed))
+        state, ovf_spawn = _spawn(state, sched)
+        cars = update_lights(state.cars, state.leading, state.lastcar,
+                             phase, elapsed)
+        one = jnp.where(state.steps >= 0, F32(1), F32(2))
+        cars, waiting, detected = integrate(cars, state.leading,
+                                            state.lastcar, state.waiting,
+                                            state.detected, one)
+        (cars, leading, lastcar, passed, rewards, passed_dst, ovf) = \
+            advance(cars, state.leading, state.lastcar, state.passed,
+                    state.rewards, state.passed_dst)
+        return state.replace(
+            cars=cars, leading=leading, lastcar=lastcar, passed=passed,
+            rewards=rewards, passed_dst=passed_dst, waiting=waiting,
+            detected=detected, steps=state.steps + 1,
+            global_tick=state.global_tick + 1,
+            done=ovf_spawn | ovf)
+
+    def reset(state: SimState, phase=None) -> SimState:
+        key = state.key
+        if phase is None:
+            tkey, sub = jax.random.split(jax.random.wrap_key_data(key))
+            key = jax.random.key_data(tkey)
+            phase = jax.random.randint(sub, (I,), 0, 2, dtype=I32)
+        cars = state.cars.at[:, :, 0].set(F32(0)).at[:, CX, 0].set(INF)
+        return state.replace(
+            cars=cars,
+            leading=jnp.zeros_like(state.leading),
+            lastcar=jnp.zeros_like(state.lastcar),
+            phase=jnp.asarray(phase).astype(I32),
+            elapsed=jnp.zeros_like(state.elapsed),
+            passed=jnp.zeros_like(state.passed),
+            waiting=jnp.zeros_like(state.waiting),
+            passed_dst=jnp.zeros_like(state.passed_dst),
+            rewards=jnp.zeros_like(state.rewards),
+            steps=jnp.int32(0), key=key, done=jnp.asarray(False))
+
+    def init_phase(key):
+        return jax.random.randint(key, (I,), 0, 2, dtype=I32)
+
+    def obs(state: SimState):
+        return jnp.concatenate([state.passed, state.detected, state.phase,
+                                state.elapsed]).astype(I32)
+
+    def remi(state: SimState):
+        green = pg_t != state.phase[dest_t]
+        waited = state.waiting > 0
+        pd = state.passed_dst[dest_t]
+        minus = waited & ~green & ~pd
+        plus = pd & green & ~waited
+        contrib = jnp.where(minus, F32(-0.5),
+                            jnp.where(plus, F32(0.5), F32(0)))
+        rewards = seg_add(jnp.zeros(I, F32), contrib, dest1h_t)
+        state = state.replace(waiting=jnp.zeros_like(state.waiting),
+                              passed_dst=jnp.zeros_like(state.passed_dst),
+                              rewards=rewards)
+        return state, rewards
+
+    def cars_per_road(state: SimState):
+        return (state.lastcar - state.leading) % S
+
+    def cars_on_roads(state: SimState):
+        per_dir = cars_per_road(state)[:Rt].reshape(4, topo.m, topo.n)
+        return jnp.transpose(per_dir, (1, 2, 0))
+
+    return SimFns(tick=tick, reset=reset, obs=obs, remi=remi,
+                  cars_per_road=cars_per_road, cars_on_roads=cars_on_roads,
+                  init_phase=init_phase)

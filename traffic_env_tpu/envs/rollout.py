@@ -36,13 +36,14 @@ class BatchedEnv(NamedTuple):
 def make_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
                      on_device_spawns: bool = True,
                      max_spawns_per_tick: int = 8,
-                     handoff: str = "parallel") -> BatchedEnv:
+                     core: str = "fast") -> BatchedEnv:
     env = make_env(topo, cfg, on_device_spawns=on_device_spawns,
-                   max_spawns_per_tick=max_spawns_per_tick, handoff=handoff)
+                   max_spawns_per_tick=max_spawns_per_tick, core=core)
 
     def init(key):
         keys = jax.random.split(key, n_envs)
-        sims = init_batched_state(topo, keys)
+        sims = jax.vmap(lambda k: env.init(k).sim, in_axes=0,
+                        out_axes=-1)(keys)
         hist = jnp.zeros((*env.observation_space.shape, n_envs)
                          if len(env.observation_space.shape) == 2
                          else (1, env.obs_dim, n_envs), jnp.float32)
