@@ -1,0 +1,221 @@
+"""Batched advantage actor-critic (reference a3c.py).
+
+The reference runs 4 Python threads, each stepping one env and applying
+gradients Hogwild-style into a shared variable store (a3c.py:47-48,
+66-97).  The TPU-native equivalent is synchronous batched A2C: the env
+batch *is* the worker pool, n-step rollouts are collected in lockstep
+under one jit, and a single gradient step per rollout window replaces
+the racy per-worker applies — same expected gradient, deterministic.
+Under a device mesh the batch is sharded on the data axis and gradients
+are all-reduced with psum (see parallel/), which is the collectives
+replacement for the shared-memory parameter server (SURVEY.md §2.4).
+
+Semantics ported: GRU(160) trunk with sigmoid Bernoulli action heads
+and a vector value head (a3c.py:8-24), n-step = batch_size rollout
+windows with bootstrap (a3c.py:121-133), GAE with lam*gamma discounting
+and rewards scaled by 1/100 (a3c.py:100-107,126), loss = 0.5*value +
+policy - 0.001*entropy with global-norm-40 clip (a3c.py:32-40), and the
+known reference defects (undefined ``step``, mis-called ``discount``,
+truncated if at a3c.py:86-89) replaced by the intended semantics per
+SURVEY.md §2.3.  ``--conv_gru`` swaps in the grid-shaped ConvGRU policy
+(the reference shipped its ConvGRUCell unused; config 5 of BASELINE.md
+names it).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import Config
+from ..models import A3CNet, ConvGRUA3CNet
+from ..ops import gae
+from .common import build_env, handle_modes, validation_hook
+from .exploration import anneal, sigmoid_decision, sigmoid_greedy
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+
+@struct.dataclass
+class A3CTS:
+    params: Any
+    opt_state: Any
+    env: Any
+    obs: jnp.ndarray       # trailing-batch obs
+    gru: jnp.ndarray       # (B, hidden) or grid carry
+    step: jnp.ndarray
+    episode: jnp.ndarray
+    key: jnp.ndarray
+
+
+class A3CCtx(NamedTuple):
+    benv: Any
+    net: Any
+    run_window: Any
+    run_episode: Any
+    greedy_episode: Any
+    cfg: Config
+
+
+def make_fns(cfg: Config, benv, topo):
+    I = benv.n_intersections
+    B = benv.n_envs
+    if cfg.conv_gru:
+        net = ConvGRUA3CNet(m=topo.m, n=topo.n)
+        gru0 = lambda: jnp.zeros((B, topo.m, topo.n, net.hidden_channels), F32)
+    else:
+        net = A3CNet(n_actions=I, reward_size=benv.env.reward_size)
+        gru0 = lambda: jnp.zeros((B, net.hidden), F32)
+    tx = optax.chain(optax.clip_by_global_norm(40.0),
+                     optax.adam(cfg.learning_rate))
+
+    def forward(params, obs, carry):
+        """One step: obs (B, obs_dim) -> scores (B, I), value, carry."""
+        scores, value, carry = net.apply(params, obs[:, None, :], carry)
+        return scores[:, 0], value[:, 0], carry
+
+    def rollout(params, env, obs, carry, key, eps, greedy=False):
+        def body(c, _):
+            env, obs, carry, key = c
+            key, k = jax.random.split(key)
+            obs_bf = jnp.moveaxis(obs, -1, 0)
+            scores, value, carry2 = forward(params, obs_bf, carry)
+            a = sigmoid_greedy(scores) if greedy else \
+                sigmoid_decision(k, scores, eps, cfg.exploration)
+            env, obs1, rew, done, _ = benv.step_autoreset_lazy(
+                env, jnp.moveaxis(a, 0, -1))
+            out = (obs_bf, a.astype(F32), jnp.moveaxis(rew, -1, 0),
+                   value, done, carry)
+            return (env, obs1, carry2, key), out
+
+        (env, obs, carry, key), seq = jax.lax.scan(
+            body, (env, obs, carry, key), None, length=cfg.batch_size)
+        return env, obs, carry, key, seq
+
+    def loss_fn(params, obs_seq, act_seq, adv, returns, carry0):
+        T = obs_seq.shape[0]
+        obs_bt = jnp.moveaxis(obs_seq, 0, 1)          # (B, T, obs)
+        scores, values, _ = net.apply(params, obs_bt, carry0)
+        act_bt = jnp.moveaxis(act_seq, 0, 1)
+        ce = optax.sigmoid_binary_cross_entropy(scores, act_bt)
+        adv_bt = jnp.moveaxis(adv, 0, 1)
+        policy_loss = jnp.mean(jnp.sum(adv_bt * ce, axis=-1))
+        ret_bt = jnp.moveaxis(returns, 0, 1)
+        value_loss = 0.5 * jnp.mean(jnp.sum(
+            jnp.square(ret_bt - values), axis=-1))
+        probs = jax.nn.sigmoid(scores)
+        ent = -jnp.mean(probs * jnp.log(probs + 1e-8))
+        loss = 0.5 * value_loss + policy_loss - 0.001 * ent
+        return loss, (policy_loss, value_loss, ent)
+
+    @jax.jit
+    def run_window(ts: A3CTS):
+        """One n-step window: rollout + bootstrap + GAE + one SGD step
+        (the batched equivalent of each worker's train() call)."""
+        eps = anneal(cfg.start_eps, cfg.end_eps, cfg.annealing_episodes,
+                     ts.episode)
+        carry0 = ts.gru
+        env, obs, carry, key, (obs_seq, act_seq, rew_seq, val_seq, done_seq,
+                               _) = rollout(ts.params, ts.env, ts.obs,
+                                            ts.gru, ts.key, eps)
+        # bootstrap value of the final obs (a3c.py:121-124)
+        _, v_boot, _ = forward(ts.params, jnp.moveaxis(obs, -1, 0), carry)
+        rew_seq = rew_seq / F32(100.0)                # a3c.py:126
+        adv, returns = gae(rew_seq, val_seq, v_boot, cfg.gamma, cfg.lam)
+        adv = jax.lax.stop_gradient(adv)
+        returns = jax.lax.stop_gradient(returns)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ts.params, obs_seq, act_seq, adv, returns, carry0)
+        updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        ts = ts.replace(params=params, opt_state=opt_state, env=env,
+                        obs=obs, gru=carry, key=key,
+                        step=ts.step + cfg.batch_size)
+        return ts, (loss, jnp.mean(rew_seq), *aux)
+
+    windows_per_episode = max(1, cfg.episode_len // cfg.batch_size)
+
+    @jax.jit
+    def run_episode(ts: A3CTS):
+        def body(ts, _):
+            return run_window(ts)
+        ts, outs = jax.lax.scan(body, ts, None, length=windows_per_episode)
+        ts = ts.replace(episode=ts.episode + 1,
+                        gru=jnp.zeros_like(ts.gru))
+        return ts, jax.tree.map(jnp.mean, outs)
+
+    @jax.jit
+    def greedy_episode(ts: A3CTS):
+        env, obs = benv.reset(ts.env)
+
+        def body(c, t):
+            env, obs, carry, total = c
+            scores, _, carry = forward(ts.params,
+                                       jnp.moveaxis(obs, -1, 0), carry)
+            a = sigmoid_greedy(scores)
+            env, obs1, rew, done, _ = benv.step_autoreset_lazy(
+                env, jnp.moveaxis(a, 0, -1))
+            disc = cfg.gamma ** t.astype(F32) if cfg.print_discounted else 1.0
+            return (env, obs1, carry, total + jnp.mean(rew) * disc), None
+
+        (env, obs, _, total), _ = jax.lax.scan(
+            body, (env, obs, jnp.zeros_like(ts.gru), F32(0)),
+            jnp.arange(cfg.episode_len))
+        return total
+
+    return net, run_window, run_episode, greedy_episode, gru0
+
+
+def make_state(cfg: Config):
+    topo, cfg, benv = build_env(cfg)
+    net, run_window, run_episode, greedy_episode, gru0 = make_fns(
+        cfg, benv, topo)
+    key = jax.random.key(cfg.seed)
+    k_env, k_net, k_ts = jax.random.split(key, 3)
+    env = benv.init(k_env)
+    env, obs = jax.jit(benv.reset)(env)
+    params = net.init(k_net, jnp.zeros((1, 1, benv.env.obs_dim), F32))
+    tx = optax.chain(optax.clip_by_global_norm(40.0),
+                     optax.adam(cfg.learning_rate))
+    ts = A3CTS(params=params, opt_state=tx.init(params), env=env, obs=obs,
+               gru=gru0(), step=jnp.int32(0), episode=jnp.int32(0),
+               key=k_ts)
+    return A3CCtx(benv=benv, net=net, run_window=run_window,
+                  run_episode=run_episode, greedy_episode=greedy_episode,
+                  cfg=cfg), ts
+
+
+def train(cfg: Config, ctx: A3CCtx, ts: A3CTS, writer, ckpt):
+    best = [cfg.best_threshold]
+    episode = int(ts.episode)
+    try:
+        while cfg.total_episodes is None or episode < cfg.total_episodes:
+            ts, (loss, mean_r, pl, vl, ent) = ctx.run_episode(ts)
+            episode = int(ts.episode)
+            if episode % cfg.summary_rate == 0:
+                writer.scalar("loss", float(loss), episode)
+                writer.scalar("policy_loss", float(pl), episode)
+                writer.scalar("value_loss", float(vl), episode)
+                writer.scalar("entropy_val", float(ent), episode)
+                writer.scalar("mean_reward", float(mean_r), episode)
+            if episode % cfg.validate_rate == 0:
+                rew = float(ctx.greedy_episode(ts))
+                validation_hook(cfg, ckpt, writer, best, episode, ts, rew)
+            if episode % cfg.save_rate == 0:
+                ckpt.save(ts)
+    finally:
+        ckpt.save(ts)
+    return ts
+
+
+def validate(cfg: Config, ctx: A3CCtx, ts: A3CTS):
+    return float(ctx.greedy_episode(ts)), None
+
+
+def run(cfg: Config):
+    return handle_modes(cfg, make_state, train, validate)

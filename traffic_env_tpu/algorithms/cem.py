@@ -1,0 +1,114 @@
+"""Cross-entropy method over a linear threshold policy (reference
+cem.py).
+
+Policy: ``a = (obs . theta < 0)`` per intersection (cem.py:39).  Each
+CEM iteration samples ``sample_size`` parameter vectors from a diagonal
+Gaussian, scores each by a rollout return, refits mean/std on the elite
+fraction (cem.py:15-31), and persists the mean to weights.json
+(cem.py:50-62).
+
+TPU-native: the theta population is just another batch axis — the
+whole population is evaluated in ONE lockstep env batch (env i runs
+candidate i//num_envs_per_candidate), so a full CEM generation is a
+single jitted rollout.  The reference's separate tf.app.flags config
+(a latent inconsistency, SURVEY.md §2.2) is folded into Config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from .common import build_env
+
+F32 = jnp.float32
+
+# CEM-specific knobs (reference cem.py:9-13)
+ELITE_FRAC = 0.06
+SAMPLE_SIZE = 60
+N_ITER = 100
+INITIAL_STD = 10.0
+
+
+class CEMCtx(NamedTuple):
+    benv: Any = None
+
+
+from typing import Any  # noqa: E402
+
+
+def make_eval(cfg: Config, benv):
+    """Batched population evaluation: env i uses theta_i."""
+    I = benv.n_intersections
+    obs_dim = benv.env.obs_dim
+
+    @jax.jit
+    def evaluate(env, thetas, key):
+        """thetas (B, obs_dim, I) -> per-env discounted returns (B,)."""
+        env, obs = benv.reset(env)
+
+        def body(c, t):
+            env, obs, total, mult = c
+            obs_bf = jnp.moveaxis(obs, -1, 0)          # (B, obs_dim)
+            scores = jnp.einsum("bo,boi->bi", obs_bf, thetas)
+            a = (scores < 0).astype(jnp.int32)         # cem.py:39
+            env, obs1, rew, done, _ = benv.step_autoreset_lazy(
+                env, jnp.moveaxis(a, 0, -1))
+            r = jnp.mean(jnp.moveaxis(rew, -1, 0), axis=-1)  # (B,)
+            total = total + r * (mult if cfg.print_discounted else 1.0)
+            return (env, obs1, total, mult * cfg.gamma), None
+
+        (env, _, total, _), _ = jax.lax.scan(
+            body, (env, obs, jnp.zeros(benv.n_envs, F32), F32(1)),
+            jnp.arange(cfg.episode_len))
+        return env, total
+
+    return evaluate
+
+
+def run(cfg: Config):
+    topo, cfg, benv = build_env(cfg, n_envs=SAMPLE_SIZE)
+    evaluate = make_eval(cfg, benv)
+    I = benv.n_intersections
+    obs_dim = benv.env.obs_dim
+    shape = (obs_dim, I)
+    wpath = os.path.join(cfg.logdir, "weights.json")
+    os.makedirs(cfg.logdir, exist_ok=True)
+    try:
+        with open(wpath) as f:
+            th_mean = np.reshape(np.asarray(json.load(f), np.float32), shape)
+    except Exception:
+        th_mean = np.zeros(shape, np.float32)
+    th_std = np.ones_like(th_mean) * INITIAL_STD
+    n_elite = int(round(SAMPLE_SIZE * ELITE_FRAC))
+    rng = np.random.RandomState(cfg.seed)
+    env = benv.init(jax.random.key(cfg.seed))
+    key = jax.random.key(cfg.seed + 1)
+    means = []
+    try:
+        for it in range(N_ITER):
+            ths = (rng.randn(SAMPLE_SIZE, *shape).astype(np.float32)
+                   * th_std + th_mean)
+            env, ys = evaluate(env, jnp.asarray(ths), key)
+            ys = np.asarray(ys)
+            elite = ths[np.argsort(ys)[-n_elite:]]
+            th_mean = elite.mean(axis=0)
+            th_std = elite.std(axis=0)
+            means.append(float(ys.mean()))
+            print(f"iter {it}: mean return {ys.mean():.4f} "
+                  f"best {ys.max():.4f}")
+            if cfg.total_episodes is not None and it + 1 >= cfg.total_episodes:
+                break
+    except KeyboardInterrupt:
+        pass
+    with open(wpath, "w") as f:
+        json.dump(np.asarray(th_mean, np.float64).reshape(-1).tolist(), f,
+                  indent=4, separators=(",", ": "))
+    print("Saved to", wpath)
+    return th_mean, means

@@ -26,14 +26,18 @@ from ..utils.stats import forever, print_running_stats, write_data
 
 
 def build_env(cfg: Config, n_envs: int | None = None,
-              handoff: str = "parallel") -> tuple[GridRoad, Config, BatchedEnv]:
-    """The make_env() factory (traffic_test.py:78-91), batched."""
+              core: str = "fast") -> tuple[GridRoad, Config, BatchedEnv]:
+    """The make_env() factory (traffic_test.py:78-91), batched.  With
+    --env_name=cartpole, builds the jitted CartPole fixture instead
+    (cartpole-test.py:7-10; same BatchedEnv surface)."""
+    if cfg.env_name == "cartpole":
+        from ..envs.cartpole import make_cartpole_benv
+        return None, cfg, make_cartpole_benv(n_envs or cfg.num_envs)
     topo = GridRoad(cfg.grid_m, cfg.grid_n, cfg.road_length)
     spec = entry_spec(cfg)
     topo.set_entry_mask(spec)
     cfg = derive_spawn_rate(cfg, topo.open_sides(spec))
-    benv = make_batched_env(topo, cfg, n_envs or cfg.num_envs,
-                            handoff=handoff)
+    benv = make_batched_env(topo, cfg, n_envs or cfg.num_envs, core=core)
     return topo, cfg, benv
 
 

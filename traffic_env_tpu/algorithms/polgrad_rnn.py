@@ -1,0 +1,184 @@
+"""Vanilla policy gradient with a GRU trunk (reference polgrad_rnn.py).
+
+Semantics ported: GRU(250) policy with Bernoulli sigmoid heads
+(polgrad_rnn.py:58-75), REINFORCE loss = sum over intersections of
+discounted-normalized returns x sigmoid cross-entropy
+(polgrad_rnn.py:77-79), returns normalized to zero mean / unit std
+unless average-reward mode (polgrad_rnn.py:32-35; the traffic driver
+forces use_avg for this trainer, traffic_test.py:23), gradient
+accumulation across ``batch_size`` episodes before one Adam apply
+(polgrad_rnn.py:41-43, 82-86).
+
+Batched: the env batch collects B episodes per jitted call; gradients
+are averaged over the batch, and ``batch_size`` accumulation windows
+are preserved on top (grad buffers live in the train state).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import Config
+from ..models import PolGradNet
+from ..ops import discount
+from .common import build_env, handle_modes, validation_hook
+from .exploration import anneal, sigmoid_decision, sigmoid_greedy
+
+F32 = jnp.float32
+I32 = jnp.int32
+EPS = 1e-8
+
+
+@struct.dataclass
+class PGTS:
+    params: Any
+    grad_acc: Any
+    n_acc: jnp.ndarray
+    opt_state: Any
+    env: Any
+    step: jnp.ndarray
+    episode: jnp.ndarray
+    key: jnp.ndarray
+
+
+class PGCtx(NamedTuple):
+    benv: Any
+    net: PolGradNet
+    run_episode: Any
+    greedy_episode: Any
+    cfg: Config
+
+
+def make_fns(cfg: Config, benv):
+    I = benv.n_intersections
+    B = benv.n_envs
+    net = PolGradNet(n_actions=I)
+    tx = optax.adam(cfg.learning_rate)
+
+    def collect(params, env, key, eps, greedy=False):
+        env, obs = benv.reset(env)
+
+        def body(c, _):
+            env, obs, gru, key = c
+            key, k = jax.random.split(key)
+            obs_bf = jnp.moveaxis(obs, -1, 0)
+            scores, gru = net.apply(params, obs_bf[:, None, :], gru)
+            scores = scores[:, 0]
+            a = sigmoid_greedy(scores) if greedy else \
+                sigmoid_decision(k, scores, eps, cfg.exploration)
+            env, obs1, rew, done, _ = benv.step_autoreset_lazy(
+                env, jnp.moveaxis(a, 0, -1))
+            return (env, obs1, gru, key), \
+                (obs_bf, a.astype(F32), jnp.moveaxis(rew, -1, 0))
+
+        gru0 = jnp.zeros((B, net.hidden), F32)
+        (env, _, _, key), (xs, ys, rs) = jax.lax.scan(
+            body, (env, obs, gru0, key), None, length=cfg.episode_len)
+        return env, key, xs, ys, rs
+
+    def loss_fn(params, xs, ys, epr):
+        # xs (T, B, obs) -> (B, T, obs)
+        scores, _ = net.apply(params, jnp.moveaxis(xs, 0, 1))
+        ce = optax.sigmoid_binary_cross_entropy(
+            scores, jnp.moveaxis(ys, 0, 1))
+        return jnp.mean(jnp.sum(jnp.moveaxis(epr, 0, 1) * ce, axis=-1))
+
+    @jax.jit
+    def run_episode(ts: PGTS):
+        eps = anneal(cfg.start_eps, cfg.end_eps, cfg.annealing_episodes,
+                     ts.episode)
+        key, k = jax.random.split(ts.key)
+        env, key2, xs, ys, rs = collect(ts.params, ts.env, k, eps)
+        # per-intersection reward columns (polgrad feeds the reward
+        # vector per action head, polgrad_rnn.py:19,28-31)
+        epr = discount(rs, cfg.gamma, cfg.use_avg)
+        if not cfg.use_avg:
+            epr = (epr - jnp.mean(epr)) / (jnp.std(epr) + EPS)
+        (loss, grads) = jax.value_and_grad(loss_fn)(ts.params, xs, ys, epr)
+        grad_acc = jax.tree.map(jnp.add, ts.grad_acc, grads)
+        n_acc = ts.n_acc + 1
+        apply_now = n_acc >= cfg.batch_size
+
+        def do_apply(op):
+            params, opt_state, acc = op
+            mean_g = jax.tree.map(lambda g: g / F32(cfg.batch_size), acc)
+            updates, opt_state = tx.update(mean_g, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            zeros = jax.tree.map(jnp.zeros_like, acc)
+            return params, opt_state, zeros
+
+        params, opt_state, grad_acc = jax.lax.cond(
+            apply_now, do_apply, lambda op: op,
+            (ts.params, ts.opt_state, grad_acc))
+        n_acc = jnp.where(apply_now, 0, n_acc)
+        ts = ts.replace(params=params, opt_state=opt_state,
+                        grad_acc=grad_acc, n_acc=n_acc, env=env, key=key2,
+                        episode=ts.episode + 1,
+                        step=ts.step + cfg.episode_len)
+        return ts, (loss, jnp.mean(rs))
+
+    @jax.jit
+    def greedy_episode(ts: PGTS):
+        env, key, xs, ys, rs = collect(ts.params, ts.env, ts.key, F32(0),
+                                       greedy=True)
+        t = jnp.arange(cfg.episode_len).astype(F32)
+        disc = cfg.gamma ** t if cfg.print_discounted else jnp.ones_like(t)
+        rew = jnp.sum(jnp.mean(rs, axis=(1, 2)) * disc)
+        if cfg.print_avg:
+            if cfg.gamma == 1:
+                rew = rew / cfg.episode_len
+            else:
+                rew = rew / ((cfg.gamma ** cfg.episode_len - 1)
+                             / (cfg.gamma - 1))
+        return rew
+
+    return net, run_episode, greedy_episode
+
+
+def make_state(cfg: Config):
+    topo, cfg, benv = build_env(cfg)
+    net, run_episode, greedy_episode = make_fns(cfg, benv)
+    key = jax.random.key(cfg.seed)
+    k_env, k_net, k_ts = jax.random.split(key, 3)
+    env = benv.init(k_env)
+    params = net.init(k_net, jnp.zeros((1, 1, benv.env.obs_dim), F32))
+    tx = optax.adam(cfg.learning_rate)
+    ts = PGTS(params=params,
+              grad_acc=jax.tree.map(jnp.zeros_like, params),
+              n_acc=jnp.int32(0), opt_state=tx.init(params), env=env,
+              step=jnp.int32(0), episode=jnp.int32(0), key=k_ts)
+    return PGCtx(benv=benv, net=net, run_episode=run_episode,
+                 greedy_episode=greedy_episode, cfg=cfg), ts
+
+
+def train(cfg: Config, ctx: PGCtx, ts: PGTS, writer, ckpt):
+    best = [cfg.best_threshold]
+    episode = int(ts.episode)
+    try:
+        while cfg.total_episodes is None or episode < cfg.total_episodes:
+            ts, (loss, mean_r) = ctx.run_episode(ts)
+            episode = int(ts.episode)
+            if episode % cfg.summary_rate == 0:
+                writer.scalar("loss", float(loss), episode)
+                writer.scalar("mean_reward", float(mean_r), episode)
+            if episode % cfg.validate_rate == 0:
+                rew = float(ctx.greedy_episode(ts))
+                validation_hook(cfg, ckpt, writer, best, episode, ts, rew)
+            if episode % cfg.save_rate == 0:
+                ckpt.save(ts)
+    finally:
+        ckpt.save(ts)
+    return ts
+
+
+def validate(cfg: Config, ctx: PGCtx, ts: PGTS):
+    return float(ctx.greedy_episode(ts)), None
+
+
+def run(cfg: Config):
+    return handle_modes(cfg, make_state, train, validate)

@@ -95,6 +95,7 @@ class Config:
     road_length: float = 250.0
 
     # -- TPU-native additions ---------------------------------------------
+    env_name: str = "traffic"       # traffic | cartpole (the §4 fixture)
     num_envs: int = 1024            # lockstep env batch size
     seed: int = 0
     exact: bool = False             # bit-exact parity mode (host spawn streams)

@@ -1,0 +1,78 @@
+"""Device meshes and sharding rules.
+
+The reference's only "distribution" is 4 Python threads Hogwild-sharing
+one TF variable store (a3c.py:66-97).  The TPU-native replacement
+(SURVEY.md §2.4): a ``jax.sharding.Mesh`` with a data axis ``dp`` (env
+batch + replay sharded; XLA inserts psum all-reduces for gradients over
+ICI) and an optional model axis ``mp`` (hidden activations / Dense
+kernels sharded) for scale-out beyond data parallelism.  Multi-host
+runs call ``distributed_init`` first so the mesh spans all processes'
+devices.
+
+The env batch lives on the *trailing* axis of every state leaf, so its
+sharding spec is "replicate every leading axis, shard the last on dp".
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def distributed_init(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (jax.distributed); no-op on a single host."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def make_mesh(mesh_shape: str = "", devices=None) -> Mesh:
+    """"" -> all devices on dp; "4,2" -> (dp=4, mp=2)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if mesh_shape:
+        dims = tuple(int(x) for x in mesh_shape.split(","))
+    else:
+        dims = (len(devices),)
+    names = ("dp", "mp")[:len(dims)]
+    return Mesh(devices[:int(np.prod(dims))].reshape(dims), names)
+
+
+def batch_sharding(mesh: Mesh, leaf) -> NamedSharding:
+    """Shard the trailing (env-batch) axis on dp, replicate the rest."""
+    spec = P(*([None] * (leaf.ndim - 1) + ["dp"])) if leaf.ndim else P()
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_env_state(mesh: Mesh, tree):
+    """Place a batched env/train-state pytree: batch-trailing leaves on
+    dp, scalars and parameters replicated."""
+    def place(leaf):
+        return jax.device_put(leaf, batch_sharding(mesh, leaf))
+    return jax.tree.map(place, tree)
+
+
+def shard_params(mesh: Mesh, params, axis: Optional[str] = None):
+    """Replicate parameters (dp) or shard Dense kernels' output dim on
+    mp when a model axis exists."""
+    if axis is None or "mp" not in mesh.axis_names:
+        return jax.device_put(params, replicated(mesh))
+
+    def place(leaf):
+        if leaf.ndim == 2:       # Dense kernel (in, out) -> shard out
+            s = NamedSharding(mesh, P(None, "mp"))
+        elif leaf.ndim == 1:     # bias
+            s = NamedSharding(mesh, P("mp"))
+        else:
+            s = replicated(mesh)
+        return jax.device_put(leaf, s)
+    return jax.tree.map(place, params)
