@@ -1,0 +1,135 @@
+"""Unit tests: replay buffers, discount scans, exploration, spaces,
+config derivations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from traffic_env_tpu.algorithms.exploration import (anneal, sigmoid_decision,
+                                                    sigmoid_greedy,
+                                                    softmax_decision)
+from traffic_env_tpu.algorithms.replay import EpisodeReplay, TransitionReplay
+from traffic_env_tpu.config import Config
+from traffic_env_tpu.ops import discount, gae
+from traffic_env_tpu.spaces import GSpace
+
+
+def test_discount_matches_reference_loop():
+    """The scan must equal the reference's in-place backward loop
+    (algorithms/util.py:119-129)."""
+    rng = np.random.RandomState(0)
+    a = rng.randn(17, 3).astype(np.float32)
+    gamma = 0.8
+    ref = a.copy()
+    for i in range(len(ref) - 1, 0, -1):
+        ref[i - 1] += gamma * ref[i]
+    out = np.asarray(discount(jnp.asarray(a), gamma))
+    np.testing.assert_allclose(ref, out, rtol=1e-5, atol=1e-6)
+    # use_avg divides by geometric-sum denominators
+    ref2 = ref.copy()
+    denom, extras = 1.0, gamma
+    for i in range(len(ref2), 0, -1):
+        ref2[i - 1] /= denom
+        denom += extras
+        extras *= gamma
+    out2 = np.asarray(discount(jnp.asarray(a), gamma, use_avg=True))
+    np.testing.assert_allclose(ref2, out2, rtol=1e-5, atol=1e-6)
+
+
+def test_gae_shapes_and_bootstrap():
+    T, B = 8, 4
+    r = jnp.ones((T, B))
+    v = jnp.zeros((T, B))
+    boot = jnp.zeros(B)
+    adv, ret = gae(r, v, boot, gamma=0.9, lam=1.0)
+    assert adv.shape == (T, B) and ret.shape == (T, B)
+    # last return = r_T (bootstrap 0); geometric sums earlier
+    np.testing.assert_allclose(np.asarray(ret[-1]), 1.0)
+    np.testing.assert_allclose(np.asarray(ret[0]),
+                               (1 - 0.9 ** T) / 0.1, rtol=1e-5)
+
+
+def test_transition_replay_ring():
+    rep = TransitionReplay.create(8, (3,), 2, 1)
+    s = jnp.arange(12, dtype=jnp.float32).reshape(4, 3)
+    a = jnp.zeros((4, 2), jnp.int32)
+    r = jnp.ones((4, 1))
+    d = jnp.zeros(4, bool)
+    rep = rep.add_batch(s, a, r, d, s + 100)
+    assert int(rep.idx) == 4
+    rep = rep.add_batch(s + 1, a, r, d, s + 101)
+    rep = rep.add_batch(s + 2, a, r, d, s + 102)  # wraps
+    assert int(rep.idx) == 12
+    ss, aa, rr, nd, ss1 = rep.sample(jax.random.key(0), 16)
+    assert ss.shape == (16, 3) and nd.shape == (16, 1)
+    np.testing.assert_allclose(np.asarray(nd), 1.0)
+
+
+def test_episode_replay_traces():
+    rep = EpisodeReplay.create(4, 10, 3, 2, 1)
+    T, B = 10, 4
+    s = jnp.ones((B, T + 1, 3)) * jnp.arange(T + 1)[None, :, None]
+    a = jnp.zeros((B, T, 2), jnp.int32)
+    r = jnp.ones((B, T, 1))
+    nd = jnp.ones((B, T))
+    rep = rep.add_episodes(s, a, r, nd, jnp.full((B,), T, jnp.int32))
+    ss, aa, rr, ndd, ss1, sizes = rep.sample_traces(jax.random.key(1), 6, 4)
+    assert ss.shape == (6, 4, 3) and sizes.shape == (6,)
+    assert (np.asarray(sizes) == 4).all()
+    # s1 must be exactly one step after s at every valid position
+    np.testing.assert_allclose(np.asarray(ss1[..., 0] - ss[..., 0]), 1.0)
+
+
+def test_anneal_linear_floor():
+    eps0 = float(anneal(0.8, 0.08, 100, jnp.int32(0)))
+    eps50 = float(anneal(0.8, 0.08, 100, jnp.int32(50)))
+    eps1000 = float(anneal(0.8, 0.08, 100, jnp.int32(1000)))
+    assert abs(eps0 - 0.8) < 1e-6
+    assert abs(eps50 - 0.44) < 1e-6
+    assert abs(eps1000 - 0.08) < 1e-6
+
+
+def test_softmax_decision_eps_extremes():
+    scores = jnp.asarray([[[0.0, 5.0]] * 4])   # greedy = 1 everywhere
+    a0 = softmax_decision(jax.random.key(0), scores, 0.0)
+    assert (np.asarray(a0) == 1).all()
+    draws = [softmax_decision(jax.random.key(i), scores, 1.0)
+             for i in range(64)]
+    assert np.mean([np.asarray(d) for d in draws]) < 0.9  # random mix
+
+
+def test_sigmoid_decision_modes():
+    scores = jnp.full((2, 3), 10.0)  # prob ~ 1
+    g = sigmoid_greedy(scores)
+    assert (np.asarray(g) == 1).all()
+    a = sigmoid_decision(jax.random.key(0), scores, 0.0)
+    assert (np.asarray(a) == 1).all()
+    # full exploration mixes toward 0.5
+    draws = [sigmoid_decision(jax.random.key(i), scores, 1.0, "e_greedy")
+             for i in range(200)]
+    m = np.mean([np.asarray(d) for d in draws])
+    assert 0.35 < m < 0.65
+
+
+def test_gspace():
+    g = GSpace([9], 2)
+    assert g.size == 9
+    s = g.sample(jax.random.key(0))
+    assert s.shape == (9,) and ((np.asarray(s) == 0) | (np.asarray(s) == 1)).all()
+    g2 = g.replicated(5)
+    assert g2.shape == (5, 9) and g2.size == 45
+    assert g.contains(s)
+    rng = np.random.RandomState(3)
+    assert g.sample_np(rng).shape == (9,)
+
+
+def test_config_fixed_point_and_json():
+    cfg = Config(trainer="qlearn").derive()
+    assert cfg.history == 20 and cfg.episode_len == 120
+    assert cfg.light_iterations == 10 and cfg.episode_ticks == 1200
+    cfg2 = Config.from_json(cfg.to_json())
+    assert cfg2 == cfg
+    pg = Config(trainer="polgrad_rnn").derive()
+    assert pg.use_avg and pg.print_avg
+    rendered = Config(render=True).derive()
+    assert rendered.mode == "validate"
