@@ -1,0 +1,519 @@
+"""Fused light-period Pallas kernel: W simulator ticks per HBM round
+trip.
+
+The XLA fast core (envs/fast_core.py) is HBM-bandwidth-bound: every
+tick streams the whole car state through HBM.  This kernel runs one
+*light period* (W = cfg.light_iterations ticks, the Repeater window)
+for a block of envs entirely in VMEM: state blocks are loaded once,
+ticked W times on the VPU, and written back once — a ~W-fold cut in
+HBM traffic — and accumulates the Repeater's window aggregates
+(passed sums, reward sums) in-kernel.
+
+Semantics are identical to fast_core (same masked-plane formulation,
+same FMA/reciprocal guards); equality is enforced by
+tests/test_pallas_window.py (interpreter mode on CPU vs the oracle).
+
+Mosaic-dictated differences from fast_core's formulation:
+
+* no array constants inside the kernel — topology one-hot matrices
+  (feeder/successor permutations, destination segments) are passed as
+  i32 inputs, and the train-road -> intersection map uses GridRoad's
+  block structure (``dest[rid] = rid %% v`` so ``phase[dest_t]`` is a
+  4-fold tile of ``phase``);
+* no gathers/scatters at all, even with constant indices — row
+  permutations are masked max-reductions over a passed one-hot, and
+  per-intersection scoring is a masked sum (exact: reward increments
+  are multiples of 0.5/10);
+* entry-road ids are resolved from drawn indices by an unrolled
+  constant sum.
+
+Spawning modes: schedule-driven (per-window attempt lists gathered
+OUTSIDE the kernel at each env's own global_tick, so frozen lanes never
+mis-consume their stream) or in-kernel per-core PRNG (throughput mode).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import Config
+from ..constants import RING
+from .. import constants as C
+from ..envs import fast_core as fc
+from ..topology import GridRoad
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+STATE_KEYS = ("x", "v", "w", "leading", "lastcar", "phase", "elapsed",
+              "waiting", "detected", "passed_dst", "gap", "steps",
+              "gtick", "done")
+
+# scalar constants as Python floats (inline literals, never captured)
+C_A, C_B = float(fc.C_A), float(fc.C_B)
+C_T, C_S0, C_L = float(fc.C_T), float(fc.C_S0), float(fc.C_L)
+C_V0, C_SPAWN_V, C_SPAWN_X = (float(fc.C_V0), float(fc.C_SPAWN_V),
+                              float(fc.C_SPAWN_X))
+EPS = float(C.EPS)
+THRESH = float(C.THRESH)
+DETECT_RANGE = float(C.DETECT_RANGE)
+OVERFLOW_PENALTY = float(C.OVERFLOW_PENALTY)
+YELLOW = int(C.YELLOW_TICKS)
+FMAX = float(np.finfo(np.float32).max)
+FINF = float("inf")
+
+
+def _nn(p):
+    return jnp.maximum(p, F32(0))
+
+
+def _fin(p):
+    return jax.lax.clamp(F32(-FMAX), p, F32(FMAX))
+
+
+def make_window_kernel(topo: GridRoad, cfg: Config,
+                       on_device_spawns: bool = True,
+                       max_spawns_per_tick: int = 8,
+                       max_crossings_per_tick: int = 4,
+                       block_envs: int = 128,
+                       interpret: bool = False):
+    R, Rt, I = topo.roads, topo.train_roads, topo.intersections
+    S = RING
+    W = cfg.light_iterations
+    Kc = max_crossings_per_tick
+    Ks = max_spawns_per_tick
+    length = float(topo.length)
+    rate = float(cfg.rate)
+    lam = float(1.0 / (cfg.cars_per_sec * cfg.rate))
+    Bb = block_envs
+    learn_switch = bool(cfg.learn_switch)
+    entry_list = [int(e) for e in topo.entrypoints]
+    E = len(entry_list)
+
+    # topology tensors passed as kernel inputs (i32)
+    perm_next = np.zeros((Rt, R), np.int32)   # row t: one-hot of nxt[t]
+    perm_next[np.arange(Rt), topo.nxt[:Rt]] = 1
+    perm_prev = np.zeros((R, R), np.int32)    # row f: one-hot of prev[f]
+    hf = topo.prev >= 0
+    perm_prev[np.arange(R)[hf], topo.prev[hf]] = 1
+    dest1h = (topo.dest[None, :] == np.arange(I)[:, None]).astype(np.int32)
+    flags = np.stack([(np.arange(R) < Rt).astype(np.int32),
+                      hf.astype(np.int32),
+                      (hf & (topo.prev < np.arange(R))).astype(np.int32),
+                      topo.phase_group.astype(np.int32)], axis=1)  # (R,4)
+
+    def kernel(action_ref, sprows_ref, pnext_ref, pprev_ref, dest1h_ref,
+               flags_ref, *refs):
+        n = len(STATE_KEYS)
+        in_refs = refs[:n]
+        out_refs = refs[n:n + n]
+        acc_passed_ref, rew_sum_ref, last_rew_ref = refs[n + n:]
+
+        (x, v, wrow, leading, lastcar, phase, elapsed, waiting, detected,
+         passed_dst, gap_state, steps, gtick, done) = [
+            r[:] for r in in_refs]
+        action = action_ref[:]
+        pnext = pnext_ref[:] > 0            # (Rt, R)
+        pprev = pprev_ref[:] > 0            # (R, R)
+        d1h = dest1h_ref[:] > 0             # (I, R)
+        fl = flags_ref[:]                   # (R, 4)
+        is_train = fl[:, 0] > 0
+        has_feeder = fl[:, 1] > 0
+        feeder_first = fl[:, 2] > 0
+        pg_full = fl[:, 3]
+
+        if on_device_spawns:
+            pltpu.prng_seed(pl.program_id(0) * 2654435761 + gtick[0, 0])
+
+        slots3 = jax.lax.broadcasted_iota(I32, (R, S, Bb), 1)
+        rids2 = jax.lax.broadcasted_iota(I32, (R, Bb), 0)
+
+        acc_passed = jnp.zeros((Rt, Bb), I32)
+        rew_sum = jnp.zeros((I, Bb), F32)
+        last_rew = jnp.zeros((I, Bb), F32)
+
+        def d_from(idx):
+            return (slots3 - idx[:, None, :]) % S
+
+        def pick(plane, mask):
+            """One selected slot per road: max over the slot axis."""
+            return jnp.max(jnp.where(mask, plane, -FINF), axis=1)
+
+        def permute(vals, onehot):
+            """vals (R, Bb) -> (rows(onehot), Bb): masked max-reduce."""
+            return jnp.max(jnp.where(onehot[:, :, None], vals[None], -FINF),
+                           axis=1)
+
+        def permute_i(vals, onehot, fill=0):
+            big = np.int32(np.iinfo(np.int32).min)
+            out = jnp.max(jnp.where(onehot[:, :, None], vals[None], big),
+                          axis=1)
+            return jnp.where(jnp.any(onehot, axis=1)[:, None], out, fill)
+
+        def seg_add(rewards, per_road):
+            """Exact per-intersection accumulation (multiples of 0.5)."""
+            return rewards + jnp.sum(
+                jnp.where(d1h[:, :, None], per_road[None], F32(0)), axis=1)
+
+        def tile_i(arr):
+            """phase/elapsed (I, Bb) -> per-train-road (Rt, Bb) using
+            dest[rid] = rid % v (GridRoad block structure)."""
+            return jnp.concatenate([arr, arr, arr, arr], axis=0)
+
+        def uniform():
+            bits = pltpu.prng_random_bits((1, Bb))
+            return ((bits >> 8).astype(F32) * F32(1.0 / (1 << 24)))[0]
+
+        def entry_road_of(idx):
+            out = jnp.zeros_like(idx)
+            for e, rid in enumerate(entry_list):
+                out = out + jnp.where(idx == e, rid, 0)
+            return out
+
+        for w_tick in range(W):
+            livev = done[0] == 0
+            lm = livev[None, :]
+            lm3 = livev[None, None, :]
+            x0, v0_, w0 = x, v, wrow
+
+            # -- phase / elapsed ----------------------------------------
+            if learn_switch:
+                change = action
+                new_phase = jnp.logical_xor(phase, action).astype(I32)
+            else:
+                change = jnp.logical_xor(phase, action).astype(I32)
+                new_phase = action
+            phase = jnp.where(lm, new_phase, phase)
+            elapsed = jnp.where(lm, (elapsed + 1) * (change == 0), elapsed)
+            rewards = jnp.zeros((I, Bb), F32)
+            overflow = jnp.zeros((Bb,), jnp.bool_)
+
+            # -- spawning (full-plane, entry-road masked) -----------------
+            d_last = d_from(lastcar)
+            tail_x = pick(x, d_last == 0)
+            has_tail = ((lastcar - leading) % S) > 0
+            floor_r = jnp.where(has_tail, tail_x - C_L - C_S0, FINF)
+            free_r = (leading - 1 - lastcar) % S
+            placed = jnp.zeros((R, Bb), I32)
+            xplane = jnp.zeros((R, S, Bb), F32)
+            gap_row = gap_state[0]
+            if on_device_spawns:
+                first = jnp.round(
+                    -jnp.log(uniform() + 1e-12) * lam).astype(I32)
+                gap_row = jnp.where(gap_row < 0, first, gap_row)
+            for j in range(Ks):
+                if on_device_spawns:
+                    en = (gap_row == 0) & livev
+                    ridx = jnp.minimum((uniform() * E).astype(I32), E - 1)
+                    road = entry_road_of(ridx)
+                    new_gap = jnp.round(
+                        -jnp.log(uniform() + 1e-12) * lam).astype(I32)
+                    gap_row = jnp.where(en, new_gap, gap_row)
+                else:
+                    eidx = sprows_ref[w_tick, j]
+                    en = (eidx >= 0) & livev
+                    road = entry_road_of(jnp.maximum(eidx, 0))
+                attempt = (rids2 == road[None, :]) & en[None, :]
+                full = placed >= free_r
+                ok = attempt & ~full
+                xj = jnp.minimum(F32(C_SPAWN_X), floor_r)
+                floor_r = jnp.where(ok, xj - C_L - C_S0, floor_r)
+                ovf_j = attempt & full
+                overflow = overflow | jnp.any(ovf_j, axis=0)
+                rewards = seg_add(
+                    rewards, jnp.where(ovf_j, -OVERFLOW_PENALTY, 0.0))
+                placed = placed + ok.astype(I32)
+                m = (d_last == placed[:, None, :]) & ok[:, None, :]
+                xplane = jnp.where(m, xj[:, None, :], xplane)
+            if on_device_spawns:
+                gap_row = jnp.where(livev, gap_row - (gap_row > 0), gap_row)
+                gap_state = gap_row[None, :]
+            pm = (d_last >= 1) & (d_last <= placed[:, None, :])
+            steps_f = steps[0].astype(F32)[None, None, :]
+            x = jnp.where(pm, xplane, x)
+            v = jnp.where(pm, F32(C_SPAWN_V), v)
+            wrow = jnp.where(pm, steps_f, wrow)
+            lastcar = (lastcar + placed) % S
+
+            # -- lights --------------------------------------------------
+            phase_t = tile_i(phase)                  # (Rt, Bb)
+            elapsed_t = tile_i(elapsed)
+            red_or_yellow = ((pg_full[:Rt, None] == phase_t)
+                             | (elapsed_t < YELLOW))
+            last_x = pick(x, d_from(lastcar) == 0)   # (R, Bb)
+            next_x = permute(last_x, pnext)          # (Rt, Bb)
+            empt = (leading == lastcar).astype(I32)
+            next_empty = permute_i(empt, pnext) > 0
+            fake_x = jnp.where(red_or_yellow, length,
+                               jnp.where(next_empty, FINF,
+                                         next_x + length))
+            fake_full = jnp.concatenate(
+                [fake_x, jnp.zeros((R - Rt, Bb), F32)], axis=0)
+            writem = (d_from(leading) == 0) & is_train[:, None, None]
+            x = jnp.where(writem, fake_full[:, None, :], x)
+
+            # -- IDM -------------------------------------------------------
+            one = jnp.where(steps[0] >= 0, F32(1), F32(2))[None, None, :]
+            ld_x = jnp.roll(x, 1, axis=1)
+            ld_v = jnp.roll(v, 1, axis=1)
+            d = d_from(leading)
+            ncars = (lastcar - leading) % S
+            mask = (d >= 1) & (d <= ncars[:, None, :])
+            ld_l = jnp.where(d == 1, F32(0), F32(C_L))
+            den = F32(2 * np.sqrt(np.float32(C_A) * np.float32(C_B))) * one
+            v0p = F32(C_V0) * one
+            desired = C_S0 + jnp.maximum(
+                F32(0), _nn(v * C_T) + v * (v - ld_v) / den)
+            gapp = ld_x - x - ld_l
+            free_flow = _nn(jnp.square(jnp.square(v / v0p)))
+            dv = C_A * (1 - free_flow
+                        - _nn(jnp.square(desired / (gapp + EPS))))
+            dvr = dv * rate
+            dxp = _nn(rate * v) + _fin(F32(0.5) * dvr * rate)
+            x = jnp.where(mask, x + _nn((dxp > 0) * dxp), x)
+            v = jnp.where(mask, jnp.maximum(F32(0), v + _fin(dvr)), v)
+            wrapped = (leading > lastcar)[:, None, :]
+            in_second = wrapped & (slots3 <= lastcar[:, None, :])
+            metric = jnp.where(in_second, x, v)
+            wait_inc = jnp.sum((mask & (metric < THRESH)).astype(I32),
+                               axis=1)[:Rt]
+            det_cnt = jnp.sum((mask & (x > length - DETECT_RANGE))
+                              .astype(I32), axis=1)[:Rt]
+            occupied = (ncars > 0)[:Rt]
+            waiting = waiting + jnp.where(occupied & livev[None, :],
+                                          wait_inc, 0)
+            detected = jnp.where(occupied & livev[None, :], det_cnt,
+                                 detected)
+
+            # -- hand-off ---------------------------------------------------
+            d = d_from(leading)
+            follower = (d >= 1) & (d <= ((lastcar - leading) % S)[:, None, :])
+            beyond = follower & (x > length)
+            run = None
+            count = jnp.zeros((R, Bb), I32)
+            x_k, v_k, w_k = [], [], []
+            for k in range(1, Kc + 1):
+                ck = jnp.any(beyond & (d == k), axis=1)
+                run = ck if run is None else run & ck
+                count = count + run.astype(I32)
+                mk = d == k
+                x_k.append(pick(x, mk) - length)
+                v_k.append(pick(v, mk))
+                w_k.append(pick(wrow, mk))
+            lead_mask = d == 0
+            fake_xr = pick(x, lead_mask)
+            fake_vr = pick(v, lead_mask)
+            fake_wr = pick(wrow, lead_mask)
+            pop_mask = (d >= 1) & (d <= count[:, None, :])
+            x = jnp.where(pop_mask, fake_xr[:, None, :], x)
+            v = jnp.where(pop_mask, fake_vr[:, None, :], v)
+            wrow = jnp.where(pop_mask, fake_wr[:, None, :], wrow)
+            new_leading = (leading + count) % S
+
+            thr = count * is_train[:, None].astype(I32)
+            count_in = jnp.where(has_feeder[:, None],
+                                 permute_i(thr, pprev), 0)
+            cap_lead = jnp.where(feeder_first[:, None], leading, new_leading)
+            free2 = (cap_lead - 1 - lastcar) % S
+            accepted = jnp.minimum(count_in, free2)
+            n_over = count_in - accepted
+            overflow = overflow | jnp.any(n_over > 0, axis=0)
+            rewards = seg_add(rewards,
+                              -OVERFLOW_PENALTY * n_over.astype(F32))
+            tail_x2 = pick(x, d_from(lastcar) == 0)
+            occ_t = jnp.where(feeder_first[:, None], leading != lastcar,
+                              new_leading != lastcar)
+            floor2 = jnp.where(occ_t, tail_x2 - C_L - C_S0, FINF)
+            dl = d_from(lastcar)
+            xp2 = jnp.zeros((R, S, Bb), F32)
+            vp2 = jnp.zeros((R, S, Bb), F32)
+            wp2 = jnp.zeros((R, S, Bb), F32)
+            for k in range(Kc):
+                xin = jnp.minimum(permute(x_k[k], pprev), floor2)
+                floor2 = xin - C_L - C_S0
+                mkk = dl == (k + 1)
+                xp2 = jnp.where(mkk, xin[:, None, :], xp2)
+                vp2 = jnp.where(mkk, permute(v_k[k], pprev)[:, None, :], vp2)
+                wp2 = jnp.where(mkk, permute(w_k[k], pprev)[:, None, :], wp2)
+            push_mask = (dl >= 1) & (dl <= accepted[:, None, :])
+            x = jnp.where(push_mask, xp2, x)
+            v = jnp.where(push_mask, vp2, v)
+            wrow = jnp.where(push_mask, wp2, wrow)
+            new_lastcar = (lastcar + accepted) % S
+            passed = thr[:Rt]
+            # passed_dst via segment max over train roads
+            pd_new = jnp.maximum(
+                passed_dst,
+                jnp.max(jnp.where(d1h[:, :Rt, None],
+                                  (thr[:Rt] > 0)[None].astype(I32), 0),
+                        axis=1))
+
+            # -- freeze finished lanes, commit tick -------------------------
+            x = jnp.where(lm3, x, x0)
+            v = jnp.where(lm3, v, v0_)
+            wrow = jnp.where(lm3, wrow, w0)
+            leading = jnp.where(lm, new_leading, leading)
+            lastcar = jnp.where(lm, new_lastcar, lastcar)
+            passed_dst = jnp.where(lm, pd_new, passed_dst)
+            steps = jnp.where(lm, steps + 1, steps)
+            gtick = jnp.where(lm, gtick + 1, gtick)
+            acc_passed = acc_passed + jnp.where(lm, passed, 0)
+            rew_live = jnp.where(lm, rewards, F32(0))
+            rew_sum = rew_sum + rew_live
+            last_rew = jnp.where(lm, rewards, last_rew)
+            done = jnp.where(lm, overflow[None, :].astype(I32), done)
+
+        outs = (x, v, wrow, leading, lastcar, phase, elapsed, waiting,
+                detected, passed_dst, gap_state, steps, gtick, done)
+        for ref, val in zip(out_refs, outs):
+            ref[:] = val
+        acc_passed_ref[:] = acc_passed
+        rew_sum_ref[:] = rew_sum
+        last_rew_ref[:] = last_rew
+
+    # ------------------------------------------------------------------
+    def window(state: dict, action, spawn_rows=None):
+        """state: dict of batch-trailing arrays keyed by STATE_KEYS;
+        action (I, B); spawn_rows (W, Ks, B) entry indices or None.
+        Returns (new_state, acc_passed, rew_sum, last_rew)."""
+        B = action.shape[-1]
+        assert B % Bb == 0, (B, Bb)
+        grid = (B // Bb,)
+
+        def bspec(shape):
+            nd = len(shape)
+            return pl.BlockSpec(
+                shape[:-1] + (Bb,),
+                lambda i, _nd=nd: (0,) * (_nd - 1) + (i,),
+                memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+
+        def cspec(shape):
+            """Constant (batch-free) input replicated to every block."""
+            nd = len(shape)
+            return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd,
+                                memory_space=pltpu.ANY if interpret
+                                else pltpu.VMEM)
+
+        leaves = [state[k] for k in STATE_KEYS]
+        if spawn_rows is None:
+            spawn_rows = jnp.full((W, Ks, B), -1, I32)
+        consts = [jnp.asarray(perm_next), jnp.asarray(perm_prev),
+                  jnp.asarray(dest1h), jnp.asarray(flags)]
+        out_shapes = ([jax.ShapeDtypeStruct(l.shape, l.dtype)
+                       for l in leaves]
+                      + [jax.ShapeDtypeStruct((Rt, B), I32),
+                         jax.ShapeDtypeStruct((I, B), F32),
+                         jax.ShapeDtypeStruct((I, B), F32)])
+        out_specs = ([bspec(l.shape) for l in leaves]
+                     + [bspec((Rt, B)), bspec((I, B)), bspec((I, B))])
+        in_specs = ([bspec(action.shape), bspec(spawn_rows.shape)]
+                    + [cspec(c.shape) for c in consts]
+                    + [bspec(l.shape) for l in leaves])
+        n_pre = 2 + len(consts)
+        aliases = {i + n_pre: i for i in range(len(leaves))}
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=out_shapes,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            input_output_aliases=aliases,
+            interpret=interpret,
+        )(action, spawn_rows, *consts, *leaves)
+        new_state = dict(zip(STATE_KEYS, outs[:len(STATE_KEYS)]))
+        acc_passed, rew_sum, last_rew = outs[len(STATE_KEYS):]
+        return new_state, acc_passed, rew_sum, last_rew
+
+    return window
+
+
+def sim_to_dict(sim):
+    """Batched compact SimState (trailing batch) -> kernel state dict."""
+    return dict(
+        x=sim.cars[:, 0], v=sim.cars[:, 1], w=sim.cars[:, 2],
+        leading=sim.leading, lastcar=sim.lastcar, phase=sim.phase,
+        elapsed=sim.elapsed, waiting=sim.waiting, detected=sim.detected,
+        passed_dst=sim.passed_dst.astype(I32),
+        gap=sim.spawn_gap[None], steps=sim.steps[None],
+        gtick=sim.global_tick[None], done=sim.done.astype(I32)[None])
+
+
+def dict_to_sim(sim, d, last_passed, last_rew):
+    return sim.replace(
+        cars=jnp.stack([d["x"], d["v"], d["w"]], axis=1),
+        leading=d["leading"], lastcar=d["lastcar"], phase=d["phase"],
+        elapsed=d["elapsed"], waiting=d["waiting"], detected=d["detected"],
+        passed_dst=d["passed_dst"].astype(bool),
+        rewards=last_rew, passed=last_passed,
+        spawn_gap=d["gap"][0], steps=d["steps"][0],
+        global_tick=d["gtick"][0], done=d["done"][0].astype(bool))
+
+
+def build_spawn_rows(sched, gtick, W: int, Ks: int, topo: GridRoad):
+    """Gather each env's next-W-ticks arrival rows from its schedule and
+    convert road ids to entry indices (-1 padding past the count).
+
+    sched.counts (T, B), sched.roads (T, K, B); gtick (B,)."""
+    entry_index = np.full(topo.roads, -1, np.int32)
+    entry_index[topo.entrypoints] = np.arange(len(topo.entrypoints))
+    entry_index = jnp.asarray(entry_index)
+    K = sched.roads.shape[1]
+    B = gtick.shape[0]
+    rows = []
+    for w in range(W):
+        t = gtick + w
+        cnt = jnp.take_along_axis(sched.counts, t[None, :], axis=0)[0]
+        r = jnp.take_along_axis(
+            sched.roads, t[None, None, :].repeat(K, axis=1), axis=0)[0]
+        eidx = entry_index[r]                        # (K, B)
+        jj = jnp.arange(K)[:, None]
+        eidx = jnp.where(jj < cnt[None, :], eidx, -1)
+        if K < Ks:
+            eidx = jnp.concatenate(
+                [eidx, jnp.full((Ks - K, B), -1, I32)], axis=0)
+        else:
+            eidx = eidx[:Ks]
+        rows.append(eidx)
+    return jnp.stack(rows)                            # (W, Ks, B)
+
+
+def make_repeater_window(topo: GridRoad, cfg: Config,
+                         on_device_spawns: bool = True,
+                         max_spawns_per_tick: int = 8,
+                         block_envs: int = 128, interpret: bool = False):
+    """Drop-in replacement for the env layer's repeater_step, operating
+    on a *batched* compact SimState (trailing batch axis): one fused
+    kernel call per agent step."""
+    W = cfg.light_iterations
+    Ks = max_spawns_per_tick
+    validate = cfg.mode == "validate"
+    window = make_window_kernel(
+        topo, cfg, on_device_spawns=on_device_spawns,
+        max_spawns_per_tick=Ks, block_envs=block_envs, interpret=interpret)
+
+    def repeater_step(sim, action, sched=None):
+        action = jnp.asarray(action).astype(I32)
+        light_secs = None
+        if validate:
+            change = jnp.logical_xor(sim.phase, action).astype(I32)
+            light_secs = ((sim.elapsed + 1) * change).astype(F32) / 2
+        rows = None
+        if not on_device_spawns:
+            rows = build_spawn_rows(sched, sim.global_tick, W, Ks, topo)
+        d, acc_passed, rew_sum, last_rew = window(
+            sim_to_dict(sim), action, rows)
+        sim = dict_to_sim(sim, d, jnp.zeros_like(acc_passed), last_rew)
+        mult = (2 * sim.phase - 1).astype(F32)
+        obs = jnp.concatenate([
+            acc_passed.astype(F32),
+            sim.detected.astype(F32),
+            sim.elapsed.astype(F32) * F32(0.01) * mult,
+        ])
+        return sim, obs, rew_sum, sim.done, light_secs
+
+    return repeater_step
