@@ -52,8 +52,17 @@ def handle_modes(cfg: Config, make_state: Callable, train: Callable,
     validation episode.
     """
     if cfg.restore:
-        cfg = load_settings(cfg.logdir).replace(
-            restore=True, mode=cfg.mode, render=cfg.render).derive()
+        # The reference reloads settings.json into the flag *defaults*
+        # before argparse runs (algorithms/util.py:39-41), so explicit
+        # CLI/caller overrides still win over the snapshot.  Reproduce
+        # that: any field differing from the dataclass default was set
+        # explicitly (or derived — derive() recomputes those anyway).
+        import dataclasses as _dc
+        defaults = Config()
+        overrides = {f.name: getattr(cfg, f.name)
+                     for f in _dc.fields(Config)
+                     if getattr(cfg, f.name) != getattr(defaults, f.name)}
+        cfg = load_settings(cfg.logdir).replace(**overrides).derive()
     else:
         remkdir(cfg.logdir)
         snapshot_settings(cfg, cfg.logdir)

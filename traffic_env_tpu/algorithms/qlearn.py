@@ -150,16 +150,21 @@ def make_fns(cfg: Config, benv):
         episode-reward scalar (discounted mean reward, util.py:68-94),
         averaged over the env batch."""
         def body(carry, t):
-            env, obs, total = carry
+            env, obs, alive, total = carry
             a, _ = act(ts.params_main, obs, F32(0), None, greedy=True)
             env, obs1, rew, done, _ = benv.step_autoreset_lazy(
                 env, jnp.moveaxis(a, 0, -1))
             disc = (cfg.gamma ** t.astype(F32)) if cfg.print_discounted else 1.0
-            total = total + jnp.mean(rew) * disc
-            return (env, obs1, total), None
+            # episode_reward stops at done (util.py:68-94): the terminal
+            # step's reward counts, everything after each env's first
+            # done is masked out.
+            step_r = jnp.mean(rew, axis=0) * alive.astype(F32)   # (B,)
+            total = total + jnp.mean(step_r) * disc
+            return (env, obs1, alive & ~done, total), None
 
-        (env, obs, total), _ = jax.lax.scan(
-            body, (ts.env, ts.obs, F32(0)),
+        B = benv.n_envs
+        (env, obs, alive, total), _ = jax.lax.scan(
+            body, (ts.env, ts.obs, jnp.ones(B, bool), F32(0)),
             jnp.arange(cfg.episode_len))
         return total
 
