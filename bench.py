@@ -19,6 +19,7 @@ import json
 import time
 
 import jax
+import jax.numpy as jnp
 
 
 def main():
@@ -29,10 +30,13 @@ def main():
     p.add_argument("--warmup_steps", type=int, default=24)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--platform", type=str, default="")
+    p.add_argument("--core", type=str, default="auto",
+                   help="auto | pallas | fast | exact")
     args = p.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    import traffic_env_tpu  # noqa: F401  (sets LIBTPU_INIT_ARGS)
     from traffic_env_tpu.config import Config, derive_spawn_rate
     from traffic_env_tpu.envs.rollout import make_batched_env, random_rollout
     from traffic_env_tpu.topology import GridRoad
@@ -41,7 +45,12 @@ def main():
     cfg = Config(history=1, trainer="random",
                  num_envs=args.num_envs).derive()
     cfg = derive_spawn_rate(cfg, topo.open_sides(0))
-    benv = make_batched_env(topo, cfg, args.num_envs)
+    core = args.core
+    if core == "auto":
+        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+        core = ("pallas" if on_tpu and args.num_envs % 128 == 0
+                else "fast")
+    benv = make_batched_env(topo, cfg, args.num_envs, core=core)
 
     state = benv.init(jax.random.key(0))
     state, _ = benv.reset(state)
@@ -54,13 +63,16 @@ def main():
     key = jax.random.key(1)
     # Compile + warm up (also fills roads to steady-state occupancy).
     state, key, rews, dones = warm(state, key)
-    jax.block_until_ready(rews)
+    float(jnp.sum(rews))
 
     best = 0.0
     for _ in range(args.repeats):
         t0 = time.perf_counter()
         state, key, rews, dones = roll(state, key)
-        jax.block_until_ready(rews)
+        # a real host fetch, not block_until_ready: remote-execution
+        # backends can report readiness before the program has run;
+        # materializing a value that depends on every window cannot lie
+        float(jnp.sum(rews) + jnp.sum(dones))
         dt = time.perf_counter() - t0
         ticks = args.agent_steps * cfg.light_iterations * args.num_envs
         best = max(best, ticks / dt)

@@ -133,3 +133,37 @@ def test_config_fixed_point_and_json():
     assert pg.use_avg and pg.print_avg
     rendered = Config(render=True).derive()
     assert rendered.mode == "validate"
+
+
+def test_validate_trip_time_histogram():
+    """Validate mode records trip times for cars exiting the map
+    (reference advance_hack, traffic_env.py:137-157): histogram of
+    (exit_tick - spawn_tick), drained as seconds."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from traffic_env_tpu.config import Config, derive_spawn_rate
+    from traffic_env_tpu.envs.rollout import make_batched_env
+    from traffic_env_tpu.topology import GridRoad
+
+    topo = GridRoad(1, 1, 60.0)
+    cfg = Config(grid_m=1, grid_n=1, road_length=60.0, mode="validate",
+                 episode_secs=120, trainer="const0",
+                 history=1).derive().replace(history=1)
+    cfg = derive_spawn_rate(cfg, topo.open_sides(0))
+    benv = make_batched_env(topo, cfg, 4, core="fast")
+    st = benv.init(jax.random.key(0))
+    st, _ = benv.reset(st)
+    hist0 = np.asarray(st.sim.trip_hist)
+    assert hist0.shape[0] == cfg.episode_ticks + 2
+    a = jnp.zeros((1, 4), jnp.int32)  # hold green for phase-0 roads
+    step = jax.jit(benv.step_autoreset_lazy)
+    for _ in range(24):
+        st, obs, rew, done, info = step(st, a)
+        assert "light_times" in info
+    hist = np.asarray(st.sim.trip_hist)
+    total = int((hist - hist0).sum())
+    assert total > 0, "no trips recorded over 24 light periods"
+    # all recorded trips must be bounded by elapsed sim time
+    nz = np.nonzero((hist - hist0).sum(axis=-1))[0]
+    assert nz.max() <= 24 * cfg.light_iterations

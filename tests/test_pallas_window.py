@@ -115,3 +115,85 @@ def test_window_freezes_done_lanes():
             assert done_o == bool(done[b])
             frozen[b] = done_o
     assert any(frozen)
+
+
+def test_pallas_benv_matches_fast_benv():
+    """The full shaped step (Repeater+Remi) through the Pallas batched
+    env must be bit-identical to the XLA fast-core batched env in
+    schedule-driven mode."""
+    from traffic_env_tpu.envs.rollout import make_batched_env
+    topo, cfg = setup()
+    steps = 12
+    seeds = list(range(8))
+    # reset alone consumes 1 + (history-1) windows of the schedule
+    n_win = steps + cfg.history + 4
+    sched = jax.tree.map(jnp.asarray, build_batched_schedule(
+        topo, cfg, seeds, n_win * cfg.light_iterations, 8))
+    kw = dict(on_device_spawns=False)
+    fast = make_batched_env(topo, cfg, B, core="fast", **kw)
+    pal = make_batched_env(topo, cfg, B, core="pallas", block_envs=B,
+                           interpret=True, **kw)
+    sf = fast.init(jax.random.key(5))
+    sp = jax.tree.map(lambda a: a, sf)
+    sf, of = fast.reset(sf, sched)
+    sp, op = pal.reset(sp, sched)
+    np.testing.assert_array_equal(np.asarray(of), np.asarray(op))
+    rng = np.random.RandomState(3)
+    f_step = jax.jit(lambda s, a: fast.step(s, a, sched))
+    p_step = jax.jit(lambda s, a: pal.step(s, a, sched))
+    for t in range(steps):
+        a = jnp.asarray(rng.randint(2, size=(9, B)).astype(np.int32))
+        sf, of, rf, df, _ = f_step(sf, a)
+        sp, op, rp, dp, _ = p_step(sp, a)
+        np.testing.assert_array_equal(np.asarray(of), np.asarray(op),
+                                      err_msg=f"obs step {t}")
+        np.testing.assert_array_equal(np.asarray(rf), np.asarray(rp),
+                                      err_msg=f"rew step {t}")
+        np.testing.assert_array_equal(np.asarray(df), np.asarray(dp))
+
+
+def test_inkernel_autoreset_matches_external_reset():
+    """autoreset=True (in-kernel lazy reset of done lanes) must equal
+    the non-autoreset kernel followed by an external fast-core reset
+    (phase=0, matching the schedule-driven kernel's deterministic
+    reset phase)."""
+    from traffic_env_tpu.envs.fast_core import make_sim_fast
+    topo, cfg = setup(m=1, n=1, length=40.0, local_cars_per_sec=0.8)
+    cfg = derive_spawn_rate(cfg, topo.open_sides(0))
+    steps = 25
+    seeds = list(range(B))
+    sched = jax.tree.map(jnp.asarray, build_batched_schedule(
+        topo, cfg, seeds, (steps + 2) * cfg.light_iterations, 16))
+    fns = make_sim_fast(topo, cfg, on_device_spawns=False,
+                        max_spawns_per_tick=16)
+    kw = dict(on_device_spawns=False, max_spawns_per_tick=16,
+              block_envs=B, interpret=True)
+    rep_a = make_repeater_window(topo, cfg, autoreset=True, **kw)
+    rep_b = make_repeater_window(topo, cfg, autoreset=False, **kw)
+
+    def mk():
+        sim = batched_sim(topo, seeds)
+        return jax.vmap(fns.reset, in_axes=(-1, 0), out_axes=-1)(
+            sim, jnp.zeros((B, 1), jnp.int32))
+    sa, sb = mk(), mk()
+    step_a = jax.jit(lambda s, a: rep_a(s, a, sched))
+    step_b = jax.jit(lambda s, a: rep_b(s, a, sched))
+    reset_b = jax.jit(jax.vmap(
+        lambda s: fns.reset(s, jnp.zeros(1, jnp.int32)),
+        in_axes=-1, out_axes=-1))
+    n_resets = 0
+    a = jnp.zeros((1, B), jnp.int32)
+    for t in range(steps):
+        sa, oa, ra, da, _ = step_a(sa, a)
+        # external lazy reset for the B-side (before its next window)
+        sb, ob, rb, db, _ = step_b(sb, a)
+        np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob),
+                                      err_msg=f"obs step {t}")
+        np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
+        np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
+        if bool(np.asarray(db).any()):
+            n_resets += 1
+            fresh = reset_b(sb)
+            sel = lambda f, o: jnp.where(sb.done, f, o)
+            sb = jax.tree.map(sel, fresh, sb)
+    assert n_resets >= 1

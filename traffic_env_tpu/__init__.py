@@ -10,6 +10,18 @@ dueling DQN, DRQN, batched A3C, policy gradient, CEM) plus scripted
 baselines.
 """
 
+import os as _os
+
+# The fused Pallas light-period kernel keeps ~31 MB of ring-buffer
+# blocks resident in VMEM per core; libtpu's default 16 MB scoped-vmem
+# budget rejects it at compile time.  Must be set before the TPU
+# backend initializes (jax initializes lazily, so package import time
+# is early enough).
+_v = _os.environ.get("LIBTPU_INIT_ARGS", "")
+if "scoped_vmem_limit" not in _v:
+    _os.environ["LIBTPU_INIT_ARGS"] = \
+        (_v + " --xla_tpu_scoped_vmem_limit_kib=65536").strip()
+
 from .config import Config, parse_flags
 from .topology import GridRoad
 

@@ -64,7 +64,10 @@ def make_policies(cfg: Config, benv, topo):
 
 
 def episode_runner(cfg: Config, benv, policy):
-    """One batched episode -> the reference's episode-reward scalar."""
+    """One batched episode -> the reference's episode-reward scalar.
+    In validate mode also stacks per-step light times (Repeater info,
+    traffic_test.py:41-47)."""
+    validate = cfg.mode == "validate"
 
     @jax.jit
     def run_one(env_state, key):
@@ -76,15 +79,16 @@ def episode_runner(cfg: Config, benv, policy):
             env_state, key, held, total, n1, n0 = c
             key, k = jax.random.split(key)
             a, held = policy(t, k, env_state, held)
-            env_state, obs, rew, done, _ = benv.step_autoreset_lazy(
+            env_state, obs, rew, done, info = benv.step_autoreset_lazy(
                 env_state, a)
             disc = cfg.gamma ** t.astype(F32) if cfg.print_discounted else 1.0
             total = total + jnp.mean(rew) * disc
             n1 = n1 + jnp.sum(a)
             n0 = n0 + a.size - jnp.sum(a)
-            return (env_state, key, held, total, n1, n0), None
+            ys = info["light_times"] if validate else None
+            return (env_state, key, held, total, n1, n0), ys
 
-        (env_state, key, _, total, n1, n0), _ = jax.lax.scan(
+        (env_state, key, _, total, n1, n0), lt = jax.lax.scan(
             body, (env_state, key, held0, F32(0), jnp.int32(0),
                    jnp.int32(0)), jnp.arange(cfg.episode_len))
         if cfg.print_avg:
@@ -96,7 +100,7 @@ def episode_runner(cfg: Config, benv, policy):
         unfinished = jnp.sum(jax.vmap(
             benv.env.sim_fns.cars_per_road, in_axes=-1,
             out_axes=-1)(env_state.sim)) / benv.n_envs
-        return env_state, key, total, n1, n0, unfinished
+        return env_state, key, total, n1, n0, unfinished, lt
 
     return run_one
 
@@ -114,14 +118,27 @@ def run(cfg: Config, trainer: str | None = None):
              "key": jax.random.key(cfg.seed + 1)}
 
     def one_episode():
-        env, key, total, n1, n0, unfinished = runner(state["env"],
-                                                     state["key"])
+        th0 = (np.asarray(state["env"].sim.trip_hist)
+               if cfg.mode == "validate"
+               and state["env"].sim.trip_hist is not None else None)
+        env, key, total, n1, n0, unfinished, lt = runner(state["env"],
+                                                         state["key"])
         state["env"], state["key"] = env, key
         info = None
         if cfg.mode == "validate":
             tot = max(int(n1) + int(n0), 1)
+            lt = np.asarray(lt)
+            trip_times: list = []
+            if th0 is not None:
+                # histogram delta for this episode: bin b = trip of b
+                # ticks = b * rate seconds (advance_hack's /2)
+                counts = (np.asarray(env.sim.trip_hist) - th0)
+                counts = counts.sum(axis=tuple(range(1, counts.ndim)))
+                trip_times = np.repeat(
+                    np.arange(len(counts)) * cfg.rate, counts).tolist()
             info = {"onep": int(n1) / tot, "zerop": int(n0) / tot,
-                    "light_times": [], "trip_times": [],
+                    "light_times": lt[lt != 0].tolist(),
+                    "trip_times": trip_times,
                     "unfinished": float(unfinished)}
         return float(total), info
 

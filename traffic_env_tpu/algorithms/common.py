@@ -26,10 +26,14 @@ from ..utils.stats import forever, print_running_stats, write_data
 
 
 def build_env(cfg: Config, n_envs: int | None = None,
-              core: str = "fast") -> tuple[GridRoad, Config, BatchedEnv]:
+              core: str = "auto") -> tuple[GridRoad, Config, BatchedEnv]:
     """The make_env() factory (traffic_test.py:78-91), batched.  With
     --env_name=cartpole, builds the jitted CartPole fixture instead
-    (cartpole-test.py:7-10; same BatchedEnv surface)."""
+    (cartpole-test.py:7-10; same BatchedEnv surface).
+
+    ``core="auto"`` picks the fused Pallas light-period kernel on a
+    single real TPU when the batch divides its 128-lane block, else
+    the XLA fast core."""
     if cfg.env_name == "cartpole":
         from ..envs.cartpole import make_cartpole_benv
         return None, cfg, make_cartpole_benv(n_envs or cfg.num_envs)
@@ -37,7 +41,14 @@ def build_env(cfg: Config, n_envs: int | None = None,
     spec = entry_spec(cfg)
     topo.set_entry_mask(spec)
     cfg = derive_spawn_rate(cfg, topo.open_sides(spec))
-    benv = make_batched_env(topo, cfg, n_envs or cfg.num_envs, core=core)
+    n = n_envs or cfg.num_envs
+    if core == "auto":
+        on_tpu = jax.default_backend() == "tpu" or \
+            jax.devices()[0].platform not in ("cpu", "gpu")
+        core = ("pallas" if on_tpu and n % 128 == 0
+                and not cfg.mesh_shape
+                and cfg.mode != "validate" else "fast")
+    benv = make_batched_env(topo, cfg, n, core=core)
     return topo, cfg, benv
 
 

@@ -104,7 +104,10 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
         from .fast_core import init_state_compact, make_sim_fast
         fns = make_sim_fast(topo, cfg, on_device_spawns=on_device_spawns,
                             max_spawns_per_tick=max_spawns_per_tick)
-        init_sim = lambda key: init_state_compact(topo, key)
+        # validate mode attaches the trip-time histogram accumulator
+        n_tb = (cfg.episode_ticks + 2) if cfg.mode == "validate" else 0
+        init_sim = lambda key: init_state_compact(topo, key,
+                                                  n_trip_bins=n_tb)
     else:
         fns = make_sim(topo, cfg, on_device_spawns=on_device_spawns,
                        max_spawns_per_tick=max_spawns_per_tick,
@@ -142,7 +145,12 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
             done = done | (live & nxt.done)
             return (sim, done, acc_passed, tot_rew), None
 
-        init = (sim, jnp.asarray(False), jnp.zeros(Rt, I32), jnp.zeros(I, F32))
+        # the done-carry starts from the STICKY state flag: a lane that
+        # finished a previous window stays frozen until an external
+        # reset (stepping a done env is undefined in the reference —
+        # the gym loop always resets first; freezing keeps every core
+        # and the Pallas kernel bit-identical on that path)
+        init = (sim, sim.done, jnp.zeros(Rt, I32), jnp.zeros(I, F32))
         (sim, done, acc_passed, tot_rew), _ = jax.lax.scan(
             body, init, None, length=cfg.light_iterations)
         mult = (2 * sim.phase - 1).astype(F32)

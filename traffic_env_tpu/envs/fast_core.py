@@ -75,8 +75,11 @@ def fin_(p):
     return jax.lax.clamp(F32(-FMAX), p, F32(FMAX))
 
 
-def init_state_compact(topo: GridRoad, key) -> SimState:
-    """Compact-state twin of structs.init_state (cars rows: x, v, w)."""
+def init_state_compact(topo: GridRoad, key,
+                       n_trip_bins: int = 0) -> SimState:
+    """Compact-state twin of structs.init_state (cars rows: x, v, w).
+    ``n_trip_bins > 0`` attaches the validate-mode trip-time histogram
+    (reference advance_hack telemetry)."""
     if hasattr(key, "dtype") and jax.dtypes.issubdtype(
             key.dtype, jax.dtypes.prng_key):
         key = jax.random.key_data(key)
@@ -92,7 +95,8 @@ def init_state_compact(topo: GridRoad, key) -> SimState:
         passed_dst=jnp.zeros(I, bool), rewards=jnp.zeros(I, jnp.float32),
         steps=jnp.int32(0), global_tick=jnp.int32(0),
         spawn_gap=jnp.int32(-1), key=jnp.asarray(key, jnp.uint32),
-        done=jnp.asarray(False))
+        done=jnp.asarray(False),
+        trip_hist=(jnp.zeros(n_trip_bins, I32) if n_trip_bins else None))
 
 
 def make_sim_fast(topo: GridRoad, cfg: Config,
@@ -200,7 +204,8 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
     # ------------------------------------------------------------------
     # hand-off (traffic_env.py:96-157), dense single pass
     # ------------------------------------------------------------------
-    def advance(cars, leading, lastcar, passed, rewards, passed_dst):
+    def advance(cars, leading, lastcar, passed, rewards, passed_dst,
+                trip_hist, steps):
         x, v, w = cars[:, CX], cars[:, CV], cars[:, CW]
         d = dist_from(leading)
         ncars = (lastcar - leading) % S
@@ -220,6 +225,23 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
         x_k = [pick(x, d == k) - length for k in range(1, Kc + 1)]
         v_k = [pick(v, d == k) for k in range(1, Kc + 1)]
         w_k = [pick(w, d == k) for k in range(1, Kc + 1)]
+
+        if trip_hist is not None:
+            # cars crossing the end of an exit road leave the map:
+            # record trip duration in ticks (advance_hack records
+            # (tick - w_spawn)/2 seconds; seconds = ticks * rate)
+            nb = trip_hist.shape[0]
+            bins = jnp.arange(nb, dtype=I32)
+            exit_m = jnp.asarray(~np.asarray(is_train))
+            for k in range(Kc):
+                crossed = prefix[k] & exit_m                   # (R,)
+                trip = jnp.clip(
+                    steps - jnp.nan_to_num(
+                        w_k[k], posinf=0.0, neginf=0.0).astype(I32),
+                    0, nb - 1)
+                add = jnp.sum(((bins[:, None] == trip[None, :])
+                               & crossed[None, :]).astype(I32), axis=1)
+                trip_hist = trip_hist + add
 
         # pops: vacated slots [1..count] inherit the fake-leader rows
         lead_mask = d == 0
@@ -278,7 +300,7 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
             rewards = seg_add(rewards, PASSING_REWARD * thr.astype(F32),
                               dest1h)
         return (cars, new_leading, new_lastcar, passed, rewards, pd,
-                overflow)
+                overflow, trip_hist)
 
     # ------------------------------------------------------------------
     # spawning, dense over the entry-road block
@@ -395,15 +417,17 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
         cars, waiting, detected = integrate(cars, state.leading,
                                             state.lastcar, state.waiting,
                                             state.detected, one)
-        (cars, leading, lastcar, passed, rewards, passed_dst, ovf) = \
+        (cars, leading, lastcar, passed, rewards, passed_dst, ovf,
+         trip_hist) = \
             advance(cars, state.leading, state.lastcar, state.passed,
-                    state.rewards, state.passed_dst)
+                    state.rewards, state.passed_dst,
+                    state.trip_hist, state.steps)
         return state.replace(
             cars=cars, leading=leading, lastcar=lastcar, passed=passed,
             rewards=rewards, passed_dst=passed_dst, waiting=waiting,
             detected=detected, steps=state.steps + 1,
             global_tick=state.global_tick + 1,
-            done=ovf_spawn | ovf)
+            done=ovf_spawn | ovf, trip_hist=trip_hist)
 
     def reset(state: SimState, phase=None) -> SimState:
         key = state.key

@@ -36,7 +36,11 @@ class BatchedEnv(NamedTuple):
 def make_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
                      on_device_spawns: bool = True,
                      max_spawns_per_tick: int = 8,
-                     core: str = "fast") -> BatchedEnv:
+                     core: str = "fast", **pallas_kw) -> BatchedEnv:
+    if core == "pallas":
+        return make_pallas_batched_env(
+            topo, cfg, n_envs, on_device_spawns=on_device_spawns,
+            max_spawns_per_tick=max_spawns_per_tick, **pallas_kw)
     env = make_env(topo, cfg, on_device_spawns=on_device_spawns,
                    max_spawns_per_tick=max_spawns_per_tick, core=core)
 
@@ -88,6 +92,89 @@ def make_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
 
     return BatchedEnv(env=env, n_envs=n_envs, init=init, reset=reset,
                       step=step, step_autoreset=step_autoreset,
+                      step_autoreset_lazy=step_autoreset_lazy,
+                      n_intersections=topo.intersections)
+
+
+def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
+                            on_device_spawns: bool = True,
+                            max_spawns_per_tick: int = 8,
+                            block_envs: int = 128,
+                            interpret: bool = False) -> BatchedEnv:
+    """BatchedEnv whose agent step is ONE fused Pallas kernel call per
+    light period (ops/pallas_window.py): the whole 10-tick window for a
+    block of envs runs in VMEM, with lazy auto-reset folded in.  Reward
+    shaping (Remi/Localize/Squish, traffic_test.py:59-76) and history
+    stacking run in XLA on the tiny (I, B)/(obs, B) aggregates.
+
+    Requires ``n_envs % block_envs == 0`` (and block_envs a multiple of
+    128 on real TPUs — Mosaic lane constraint)."""
+    from ..ops.pallas_window import make_repeater_window
+    from .fast_core import make_sim_fast
+    from .env import localize_reward, _ordered_mean
+
+    if n_envs % block_envs:
+        raise ValueError(f"n_envs={n_envs} not divisible by "
+                         f"block_envs={block_envs}")
+    # the XLA fast-core env supplies init/reset/strict-autoreset (cold
+    # paths); the kernel replaces its step
+    xbenv = make_batched_env(topo, cfg, n_envs,
+                             on_device_spawns=on_device_spawns,
+                             max_spawns_per_tick=max_spawns_per_tick,
+                             core="fast")
+    fast = xbenv.env.sim_fns
+    Rt, I = topo.train_roads, topo.intersections
+    k_hist = max(int(cfg.history), 1)
+    validate = cfg.mode == "validate"
+    kw = dict(on_device_spawns=on_device_spawns,
+              max_spawns_per_tick=max_spawns_per_tick,
+              block_envs=block_envs, interpret=interpret)
+    rep = make_repeater_window(topo, cfg, autoreset=False, **kw)
+    rep_lazy = make_repeater_window(topo, cfg, autoreset=True, **kw)
+    remi_b = jax.vmap(fast.remi, in_axes=-1, out_axes=-1)
+    loc_b = jax.vmap(lambda r: localize_reward(r, cfg.local_weight, I),
+                     in_axes=-1, out_axes=-1)
+    squish_b = jax.vmap(lambda r: _ordered_mean(r, I),
+                        in_axes=-1, out_axes=-1)
+
+    def shaped(state: EnvState, action, sched, kern):
+        sim, obs, rew, done, light_secs = kern(state.sim, action, sched)
+        if cfg.remi:
+            sim, rew = remi_b(sim)
+        if cfg.local_weight > 1:
+            rew = loc_b(rew)
+        if cfg.squish_rewards:
+            rew = squish_b(rew)[None]
+        if k_hist > 1:
+            history = jnp.roll(state.history, -1, axis=0).at[-1].set(obs)
+            out = history
+        else:
+            history = obs[None]
+            out = obs
+        info = {"light_times": light_secs} if validate else None
+        return EnvState(sim=sim, history=history), out, rew, done, info
+
+    def step(state, action, sched=None):
+        return shaped(state, action, sched, rep)
+
+    def step_autoreset_lazy(state, action, sched=None):
+        return shaped(state, action, sched, rep_lazy)
+
+    def step_autoreset(state, action, sched=None):
+        """Strict reference autoreset: finished envs are replaced by a
+        freshly reset env (reset window + warmup + history prefill via
+        the XLA core) after the step."""
+        new_state, obs, rew, done, info = step(state, action, sched)
+        reset_state, reset_obs = xbenv.reset(new_state, sched) \
+            if sched is not None else xbenv.reset(new_state)
+        sel = lambda a, b: jnp.where(done, a, b)
+        out_state = jax.tree.map(sel, reset_state, new_state)
+        obs = jnp.where(done, reset_obs, obs)
+        return out_state, obs, rew, done, info
+
+    return BatchedEnv(env=xbenv.env, n_envs=n_envs, init=xbenv.init,
+                      reset=xbenv.reset, step=step,
+                      step_autoreset=step_autoreset,
                       step_autoreset_lazy=step_autoreset_lazy,
                       n_intersections=topo.intersections)
 

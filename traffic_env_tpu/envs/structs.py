@@ -43,6 +43,12 @@ class SimState:
     key: jnp.ndarray         # u32[2] raw threefry key data (raw so the state
                              # pytree stays selectable/vmappable uniformly)
     done: jnp.ndarray        # bool[] overflow flag
+    # validate-mode telemetry: histogram (in ticks) of completed trip
+    # durations for cars leaving the map (reference advance_hack,
+    # traffic_env.py:137-157 records (tick - w_spawn)/2 seconds).  None
+    # outside validate mode; accumulates monotonically (drain by
+    # differencing), so reset keeps the pytree structure stable.
+    trip_hist: jnp.ndarray | None = None
 
 
 @struct.dataclass

@@ -81,6 +81,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                        max_spawns_per_tick: int = 8,
                        max_crossings_per_tick: int = 4,
                        block_envs: int = 128,
+                       autoreset: bool = False,
                        interpret: bool = False):
     R, Rt, I = topo.roads, topo.train_roads, topo.intersections
     S = RING
@@ -118,47 +119,91 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
          passed_dst, gap_state, steps, gtick, done) = [
             r[:] for r in in_refs]
         action = action_ref[:]
-        pnext = pnext_ref[:] > 0            # (Rt, R)
-        pprev = pprev_ref[:] > 0            # (R, R)
-        d1h = dest1h_ref[:] > 0             # (I, R)
+        # Topology masks stay i32 and are compared AFTER any axis
+        # expansion: Mosaic cannot reshape/relayout i1 vectors, so every
+        # [None]-style expansion below happens on i32/f32 and the `> 0`
+        # comes last.
+        pnext = pnext_ref[:]                # (Rt, R) i32 one-hot
+        pprev = pprev_ref[:]                # (R, R) i32 one-hot
+        d1h = dest1h_ref[:]                 # (I, R) i32 one-hot
         fl = flags_ref[:]                   # (R, 4)
-        is_train = fl[:, 0] > 0
-        has_feeder = fl[:, 1] > 0
-        feeder_first = fl[:, 2] > 0
+        is_train_i = fl[:, 0]               # (R,) i32 0/1
+        has_feeder_i = fl[:, 1]
+        feeder_first_i = fl[:, 2]
         pg_full = fl[:, 3]
 
         if on_device_spawns:
-            pltpu.prng_seed(pl.program_id(0) * 2654435761 + gtick[0, 0])
+            # Knuth multiplicative-hash constant 2654435761, expressed
+            # as its int32 bit pattern (the literal overflows i32).
+            pltpu.prng_seed(pl.program_id(0) * I32(-1640531535) + gtick[0, 0])
 
         slots3 = jax.lax.broadcasted_iota(I32, (R, S, Bb), 1)
         rids2 = jax.lax.broadcasted_iota(I32, (R, Bb), 0)
+
+        if autoreset:
+            # Lazy in-kernel auto-reset (env.py step_autoreset_lazy):
+            # lanes that finished last window restart as fresh sims —
+            # empty rings (slot 0 = +inf leader mirror), zeroed
+            # counters, new random phase — before this window ticks.
+            # ``detected`` is deliberately NOT cleared (the reference
+            # leaves it stale across resets, traffic_env.py:259-272);
+            # the spawn stream and global tick persist.
+            rs = done[0]                       # (Bb,) i32 0/1
+            rs2 = rs[None, :] > 0
+            rs3 = rs[None, None, :] > 0
+            slot0 = rs3 & (slots3 == 0)
+            x = jnp.where(slot0, FINF, x)
+            v = jnp.where(slot0, F32(0), v)
+            wrow = jnp.where(slot0, F32(0), wrow)
+            leading = jnp.where(rs2, 0, leading)
+            lastcar = jnp.where(rs2, 0, lastcar)
+            elapsed = jnp.where(rs2, 0, elapsed)
+            waiting = jnp.where(rs2, 0, waiting)
+            passed_dst = jnp.where(rs2, 0, passed_dst)
+            steps = jnp.where(rs2, 0, steps)
+            if on_device_spawns:
+                rphase = (pltpu.prng_random_bits((I, Bb)) & 1).astype(I32)
+            else:
+                rphase = jnp.zeros((I, Bb), I32)
+            phase = jnp.where(rs2, rphase, phase)
+            done = jnp.where(rs2, 0, done)
 
         acc_passed = jnp.zeros((Rt, Bb), I32)
         rew_sum = jnp.zeros((I, Bb), F32)
         last_rew = jnp.zeros((I, Bb), F32)
 
         def d_from(idx):
-            return (slots3 - idx[:, None, :]) % S
+            # slots3, idx in [0, S): the wrap is one conditional fold,
+            # not an integer division (VPU divisions dominate otherwise)
+            diff = slots3 - idx[:, None, :]
+            return jnp.where(diff < 0, diff + S, diff)
+
+        def mod_s(a):
+            """Exact a % S for a in (-S, 2S) as two conditional folds."""
+            a = jnp.where(a < 0, a + S, a)
+            return jnp.where(a >= S, a - S, a)
 
         def pick(plane, mask):
             """One selected slot per road: max over the slot axis."""
             return jnp.max(jnp.where(mask, plane, -FINF), axis=1)
 
         def permute(vals, onehot):
-            """vals (R, Bb) -> (rows(onehot), Bb): masked max-reduce."""
-            return jnp.max(jnp.where(onehot[:, :, None], vals[None], -FINF),
-                           axis=1)
+            """vals (R, Bb) -> (rows(onehot), Bb): masked max-reduce.
+            ``onehot`` is i32; the mask compare happens post-expansion."""
+            return jnp.max(
+                jnp.where(onehot[:, :, None] > 0, vals[None], -FINF), axis=1)
 
         def permute_i(vals, onehot, fill=0):
             big = np.int32(np.iinfo(np.int32).min)
-            out = jnp.max(jnp.where(onehot[:, :, None], vals[None], big),
+            out = jnp.max(jnp.where(onehot[:, :, None] > 0, vals[None], big),
                           axis=1)
-            return jnp.where(jnp.any(onehot, axis=1)[:, None], out, fill)
+            return jnp.where(jnp.max(onehot, axis=1)[:, None] > 0, out, fill)
 
         def seg_add(rewards, per_road):
             """Exact per-intersection accumulation (multiples of 0.5)."""
             return rewards + jnp.sum(
-                jnp.where(d1h[:, :, None], per_road[None], F32(0)), axis=1)
+                jnp.where(d1h[:, :, None] > 0, per_road[None], F32(0)),
+                axis=1)
 
         def tile_i(arr):
             """phase/elapsed (I, Bb) -> per-train-road (Rt, Bb) using
@@ -176,9 +221,10 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             return out
 
         for w_tick in range(W):
-            livev = done[0] == 0
-            lm = livev[None, :]
-            lm3 = livev[None, None, :]
+            livei = 1 - done[0]            # (Bb,) i32 0/1
+            livev = livei > 0
+            lm = livei[None, :] > 0
+            lm3 = livei[None, None, :] > 0
             x0, v0_, w0 = x, v, wrow
 
             # -- phase / elapsed ----------------------------------------
@@ -196,9 +242,9 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             # -- spawning (full-plane, entry-road masked) -----------------
             d_last = d_from(lastcar)
             tail_x = pick(x, d_last == 0)
-            has_tail = ((lastcar - leading) % S) > 0
+            has_tail = mod_s(lastcar - leading) > 0
             floor_r = jnp.where(has_tail, tail_x - C_L - C_S0, FINF)
-            free_r = (leading - 1 - lastcar) % S
+            free_r = mod_s(leading - 1 - lastcar)
             placed = jnp.zeros((R, Bb), I32)
             xplane = jnp.zeros((R, S, Bb), F32)
             gap_row = gap_state[0]
@@ -218,17 +264,20 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                     eidx = sprows_ref[w_tick, j]
                     en = (eidx >= 0) & livev
                     road = entry_road_of(jnp.maximum(eidx, 0))
-                attempt = (rids2 == road[None, :]) & en[None, :]
+                attempt = (rids2 == road[None, :]) & \
+                    (en.astype(I32)[None, :] > 0)
                 full = placed >= free_r
                 ok = attempt & ~full
                 xj = jnp.minimum(F32(C_SPAWN_X), floor_r)
                 floor_r = jnp.where(ok, xj - C_L - C_S0, floor_r)
                 ovf_j = attempt & full
-                overflow = overflow | jnp.any(ovf_j, axis=0)
+                overflow = overflow | \
+                    (jnp.max(ovf_j.astype(I32), axis=0) > 0)
                 rewards = seg_add(
                     rewards, jnp.where(ovf_j, -OVERFLOW_PENALTY, 0.0))
-                placed = placed + ok.astype(I32)
-                m = (d_last == placed[:, None, :]) & ok[:, None, :]
+                oki = ok.astype(I32)
+                placed = placed + oki
+                m = (d_last == placed[:, None, :]) & (oki[:, None, :] > 0)
                 xplane = jnp.where(m, xj[:, None, :], xplane)
             if on_device_spawns:
                 gap_row = jnp.where(livev, gap_row - (gap_row > 0), gap_row)
@@ -238,14 +287,23 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             x = jnp.where(pm, xplane, x)
             v = jnp.where(pm, F32(C_SPAWN_V), v)
             wrow = jnp.where(pm, steps_f, wrow)
-            lastcar = (lastcar + placed) % S
+            lastcar = mod_s(lastcar + placed)
+
+            # ring distances reused across lights/IDM/hand-off:
+            # leading/lastcar only re-commit at end of tick
+            dL = d_from(leading)
+            dT = d_from(lastcar)
+            ncars = mod_s(lastcar - leading)
 
             # -- lights --------------------------------------------------
             phase_t = tile_i(phase)                  # (Rt, Bb)
             elapsed_t = tile_i(elapsed)
-            red_or_yellow = ((pg_full[:Rt, None] == phase_t)
+            # slice_in_dim, not [:Rt]: jnp's mixed slice+newaxis indexing
+            # lowers to a 1-D gather, which Mosaic cannot lower.
+            pg_train = jax.lax.slice_in_dim(pg_full, 0, Rt, axis=0)
+            red_or_yellow = ((pg_train[:, None] == phase_t)
                              | (elapsed_t < YELLOW))
-            last_x = pick(x, d_from(lastcar) == 0)   # (R, Bb)
+            last_x = pick(x, dT == 0)                # (R, Bb)
             next_x = permute(last_x, pnext)          # (Rt, Bb)
             empt = (leading == lastcar).astype(I32)
             next_empty = permute_i(empt, pnext) > 0
@@ -254,17 +312,15 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                                          next_x + length))
             fake_full = jnp.concatenate(
                 [fake_x, jnp.zeros((R - Rt, Bb), F32)], axis=0)
-            writem = (d_from(leading) == 0) & is_train[:, None, None]
+            writem = (dL == 0) & (is_train_i[:, None, None] > 0)
             x = jnp.where(writem, fake_full[:, None, :], x)
 
             # -- IDM -------------------------------------------------------
             one = jnp.where(steps[0] >= 0, F32(1), F32(2))[None, None, :]
             ld_x = jnp.roll(x, 1, axis=1)
             ld_v = jnp.roll(v, 1, axis=1)
-            d = d_from(leading)
-            ncars = (lastcar - leading) % S
-            mask = (d >= 1) & (d <= ncars[:, None, :])
-            ld_l = jnp.where(d == 1, F32(0), F32(C_L))
+            mask = (dL >= 1) & (dL <= ncars[:, None, :])
+            ld_l = jnp.where(dL == 1, F32(0), F32(C_L))
             den = F32(2 * np.sqrt(np.float32(C_A) * np.float32(C_B))) * one
             v0p = F32(C_V0) * one
             desired = C_S0 + jnp.maximum(
@@ -277,59 +333,62 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             dxp = _nn(rate * v) + _fin(F32(0.5) * dvr * rate)
             x = jnp.where(mask, x + _nn((dxp > 0) * dxp), x)
             v = jnp.where(mask, jnp.maximum(F32(0), v + _fin(dvr)), v)
-            wrapped = (leading > lastcar)[:, None, :]
-            in_second = wrapped & (slots3 <= lastcar[:, None, :])
+            wrapped_i = (leading > lastcar).astype(I32)
+            in_second = (wrapped_i[:, None, :] > 0) & \
+                (slots3 <= lastcar[:, None, :])
             metric = jnp.where(in_second, x, v)
-            wait_inc = jnp.sum((mask & (metric < THRESH)).astype(I32),
-                               axis=1)[:Rt]
-            det_cnt = jnp.sum((mask & (x > length - DETECT_RANGE))
-                              .astype(I32), axis=1)[:Rt]
-            occupied = (ncars > 0)[:Rt]
-            waiting = waiting + jnp.where(occupied & livev[None, :],
-                                          wait_inc, 0)
-            detected = jnp.where(occupied & livev[None, :], det_cnt,
-                                 detected)
+            wait_inc = jax.lax.slice_in_dim(
+                jnp.sum((mask & (metric < THRESH)).astype(I32), axis=1),
+                0, Rt, axis=0)
+            det_cnt = jax.lax.slice_in_dim(
+                jnp.sum((mask & (x > length - DETECT_RANGE)).astype(I32),
+                        axis=1), 0, Rt, axis=0)
+            occupied = jax.lax.slice_in_dim(ncars, 0, Rt, axis=0) > 0
+            occ_live = occupied & (livei[None, :] > 0)
+            waiting = waiting + jnp.where(occ_live, wait_inc, 0)
+            detected = jnp.where(occ_live, det_cnt, detected)
 
             # -- hand-off ---------------------------------------------------
-            d = d_from(leading)
-            follower = (d >= 1) & (d <= ((lastcar - leading) % S)[:, None, :])
-            beyond = follower & (x > length)
+            beyond = mask & (x > length)   # mask == follower (same dL/ncars)
             run = None
             count = jnp.zeros((R, Bb), I32)
             x_k, v_k, w_k = [], [], []
             for k in range(1, Kc + 1):
-                ck = jnp.any(beyond & (d == k), axis=1)
+                ck = jnp.max((beyond & (dL == k)).astype(I32), axis=1) > 0
                 run = ck if run is None else run & ck
                 count = count + run.astype(I32)
-                mk = d == k
+                mk = dL == k
                 x_k.append(pick(x, mk) - length)
                 v_k.append(pick(v, mk))
                 w_k.append(pick(wrow, mk))
-            lead_mask = d == 0
+            lead_mask = dL == 0
             fake_xr = pick(x, lead_mask)
             fake_vr = pick(v, lead_mask)
             fake_wr = pick(wrow, lead_mask)
-            pop_mask = (d >= 1) & (d <= count[:, None, :])
+            pop_mask = (dL >= 1) & (dL <= count[:, None, :])
             x = jnp.where(pop_mask, fake_xr[:, None, :], x)
             v = jnp.where(pop_mask, fake_vr[:, None, :], v)
             wrow = jnp.where(pop_mask, fake_wr[:, None, :], wrow)
-            new_leading = (leading + count) % S
+            new_leading = mod_s(leading + count)
 
-            thr = count * is_train[:, None].astype(I32)
-            count_in = jnp.where(has_feeder[:, None],
+            thr = count * is_train_i[:, None]
+            count_in = jnp.where(has_feeder_i[:, None] > 0,
                                  permute_i(thr, pprev), 0)
-            cap_lead = jnp.where(feeder_first[:, None], leading, new_leading)
-            free2 = (cap_lead - 1 - lastcar) % S
+            ff_m = feeder_first_i[:, None] > 0
+            cap_lead = jnp.where(ff_m, leading, new_leading)
+            free2 = mod_s(cap_lead - 1 - lastcar)
             accepted = jnp.minimum(count_in, free2)
             n_over = count_in - accepted
-            overflow = overflow | jnp.any(n_over > 0, axis=0)
+            overflow = overflow | (jnp.max(n_over, axis=0) > 0)
             rewards = seg_add(rewards,
                               -OVERFLOW_PENALTY * n_over.astype(F32))
-            tail_x2 = pick(x, d_from(lastcar) == 0)
-            occ_t = jnp.where(feeder_first[:, None], leading != lastcar,
-                              new_leading != lastcar)
+            tail_x2 = pick(x, dT == 0)
+            # select between i32 operands, not i1 (Mosaic cannot trunc
+            # the i8-backed bool select result back to a mask)
+            occ_t = jnp.where(ff_m, (leading != lastcar).astype(I32),
+                              (new_leading != lastcar).astype(I32)) > 0
             floor2 = jnp.where(occ_t, tail_x2 - C_L - C_S0, FINF)
-            dl = d_from(lastcar)
+            dl = dT
             xp2 = jnp.zeros((R, S, Bb), F32)
             vp2 = jnp.zeros((R, S, Bb), F32)
             wp2 = jnp.zeros((R, S, Bb), F32)
@@ -344,14 +403,14 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             x = jnp.where(push_mask, xp2, x)
             v = jnp.where(push_mask, vp2, v)
             wrow = jnp.where(push_mask, wp2, wrow)
-            new_lastcar = (lastcar + accepted) % S
-            passed = thr[:Rt]
-            # passed_dst via segment max over train roads
-            pd_new = jnp.maximum(
-                passed_dst,
-                jnp.max(jnp.where(d1h[:, :Rt, None],
-                                  (thr[:Rt] > 0)[None].astype(I32), 0),
-                        axis=1))
+            new_lastcar = mod_s(lastcar + accepted)
+            passed = jax.lax.slice_in_dim(thr, 0, Rt, axis=0)
+            # passed_dst via segment max over train roads (d1h/thr are
+            # i32 throughout; count sums > 0 <=> any car passed)
+            d1h_t = jax.lax.slice_in_dim(d1h, 0, Rt, axis=1)  # no gather
+            passed_cnt = jnp.sum(
+                jnp.where(d1h_t[:, :, None] > 0, passed[None], 0), axis=1)
+            pd_new = jnp.maximum(passed_dst, (passed_cnt > 0).astype(I32))
 
             # -- freeze finished lanes, commit tick -------------------------
             x = jnp.where(lm3, x, x0)
@@ -366,7 +425,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             rew_live = jnp.where(lm, rewards, F32(0))
             rew_sum = rew_sum + rew_live
             last_rew = jnp.where(lm, rewards, last_rew)
-            done = jnp.where(lm, overflow[None, :].astype(I32), done)
+            done = jnp.where(lm, overflow.astype(I32)[None, :], done)
 
         outs = (x, v, wrow, leading, lastcar, phase, elapsed, waiting,
                 detected, passed_dst, gap_state, steps, gtick, done)
@@ -485,16 +544,20 @@ def build_spawn_rows(sched, gtick, W: int, Ks: int, topo: GridRoad):
 def make_repeater_window(topo: GridRoad, cfg: Config,
                          on_device_spawns: bool = True,
                          max_spawns_per_tick: int = 8,
-                         block_envs: int = 128, interpret: bool = False):
+                         block_envs: int = 128, autoreset: bool = False,
+                         interpret: bool = False):
     """Drop-in replacement for the env layer's repeater_step, operating
     on a *batched* compact SimState (trailing batch axis): one fused
-    kernel call per agent step."""
+    kernel call per agent step.  ``autoreset=True`` folds the lazy
+    auto-reset of finished lanes into the kernel itself (zero extra
+    HBM passes)."""
     W = cfg.light_iterations
     Ks = max_spawns_per_tick
     validate = cfg.mode == "validate"
     window = make_window_kernel(
         topo, cfg, on_device_spawns=on_device_spawns,
-        max_spawns_per_tick=Ks, block_envs=block_envs, interpret=interpret)
+        max_spawns_per_tick=Ks, block_envs=block_envs,
+        autoreset=autoreset, interpret=interpret)
 
     def repeater_step(sim, action, sched=None):
         action = jnp.asarray(action).astype(I32)

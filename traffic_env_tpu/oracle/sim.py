@@ -171,6 +171,7 @@ class OracleSim:
         self.trip_times: list[float] = []
         self.steps = np.float32(0)
         self.generated_cars = 0
+        self.done_latch = False   # sticky done cleared only by reset
         self.seed_generator(seed)
 
     # -- RNG streams ------------------------------------------------------
@@ -193,6 +194,7 @@ class OracleSim:
         deliberately left stale (traffic_env.py:259-272)."""
         self.steps = np.float32(0)
         self.generated_cars = 0
+        self.done_latch = False   # sticky done cleared only by reset
         self.cars[:, :, 1] = 0
         self.cars[:, X, 1] = np.inf
         self.elapsed[:] = 0

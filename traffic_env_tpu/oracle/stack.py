@@ -51,6 +51,16 @@ class OracleEnv:
             light_dist = (self.sim.elapsed + 1) * change
             secs = light_dist.astype(np.float32) / 2
             info = {"light_times": secs[np.nonzero(secs)]}
+        if getattr(self.sim, "done_latch", False):
+            # frozen lane (finished in a previous window, not yet
+            # reset): no ticks run; window aggregates are zero, the
+            # state-derived obs slices read the frozen state.  This is
+            # the executable spec for the JAX cores' sticky-done freeze.
+            total_obs[r:2 * r] = self.sim.detected
+            multiplier = (2 * self.sim.phase - 1).astype(np.float32)
+            total_obs[-i:] = self.sim.elapsed.astype(np.float32) \
+                * np.float32(0.01) * multiplier
+            return total_obs, np.zeros(i, np.float32), True, info
         for _ in range(self.cfg.light_iterations):
             obs, reward, done, _ = self.sim.step(action)
             total_obs[:r] += obs[:r]
@@ -65,6 +75,8 @@ class OracleEnv:
             total_reward = total_reward + reward
             if done:
                 break
+        if done:
+            self.sim.done_latch = True
         return total_obs, total_reward, done, info
 
     def _shaped_step(self, action):
