@@ -167,3 +167,28 @@ def test_validate_trip_time_histogram():
     # all recorded trips must be bounded by elapsed sim time
     nz = np.nonzero((hist - hist0).sum(axis=-1))[0]
     assert nz.max() <= 24 * cfg.light_iterations
+
+
+def test_render_frame(tmp_path):
+    """Host-side renderer (reference traffic_env.py:285-359): draws a
+    snapshot with light colors + car segments to a PNG."""
+    import jax
+    import jax.numpy as jnp
+    from traffic_env_tpu.config import Config, derive_spawn_rate
+    from traffic_env_tpu.envs.fast_core import (init_state_compact,
+                                                make_sim_fast)
+    from traffic_env_tpu.render import save_frame
+    from traffic_env_tpu.topology import GridRoad
+
+    topo = GridRoad(2, 2, 100.0)
+    cfg = Config(grid_m=2, grid_n=2, road_length=100.0,
+                 history=1).derive().replace(history=1)
+    cfg = derive_spawn_rate(cfg, topo.open_sides(0))
+    fns = make_sim_fast(topo, cfg)
+    sim = init_state_compact(topo, jax.random.key(0))
+    sim = fns.reset(sim, jnp.zeros(4, jnp.int32))
+    for _ in range(30):
+        sim = fns.tick(sim, jnp.zeros(4, jnp.int32), None)
+    out = save_frame(topo, sim, str(tmp_path / "f.png"))
+    import os
+    assert os.path.getsize(out) > 5000

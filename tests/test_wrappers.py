@@ -107,3 +107,47 @@ def test_validate_mode_light_times():
 def test_small_grid_long():
     run_parity(*build(seed=12, m=2, n=2, length=150.0), seed=12,
                agent_steps=40, episodes=3)
+
+
+def test_strobe_last_and_ungspace():
+    """Dead-code wrapper API parity (strobe.py): Strobe subsamples
+    obs snapshots with sum-index accumulation, Last returns the final
+    tick's obs; UnGSpace round-trips scalar <-> multi-head actions."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from traffic_env_tpu.config import Config, derive_spawn_rate
+    from traffic_env_tpu.envs.extra_wrappers import (make_last, make_strobe,
+                                                     ungspace_actions)
+    from traffic_env_tpu.envs.fast_core import (init_state_compact,
+                                                make_sim_fast)
+    from traffic_env_tpu.topology import GridRoad
+
+    topo = GridRoad(1, 1, 80.0)
+    cfg = Config(grid_m=1, grid_n=1, road_length=80.0,
+                 history=1).derive().replace(history=1)
+    cfg = derive_spawn_rate(cfg, topo.open_sides(0))
+    fns = make_sim_fast(topo, cfg)
+    sim = init_state_compact(topo, jax.random.key(0))
+    sim = fns.reset(sim, jnp.zeros(1, jnp.int32))
+    obs_dim = 2 * 2 * topo.train_roads + 2 * topo.intersections
+    obs_dim = len(np.asarray(fns.obs(sim)))
+    Rt = topo.train_roads
+    strobe = jax.jit(make_strobe(fns, 10, 2, obs_dim,
+                                 sum_indices=np.arange(Rt)))
+    sim2, hist, rew, done = strobe(sim, jnp.zeros(1, jnp.int32))
+    assert hist.shape == (2, obs_dim)
+    # passed indices accumulate across the sample window; raw obs is
+    # per-tick, so the strobed row must be >= any single tick's value
+    last = jax.jit(make_last(fns, 10))
+    sim3, obs3, rew3, done3 = last(sim, jnp.zeros(1, jnp.int32))
+    assert obs3.shape == (obs_dim,)
+    # the two transforms advance the sim identically
+    np.testing.assert_array_equal(np.asarray(sim2.cars),
+                                  np.asarray(sim3.cars))
+
+    space, decode, encode = ungspace_actions(9)
+    assert space.limit == 2 ** 9
+    a = jnp.asarray([1, 0, 1, 1, 0, 0, 1, 0, 1], jnp.int32)
+    code = encode(a)
+    np.testing.assert_array_equal(np.asarray(decode(code)), np.asarray(a))

@@ -117,6 +117,27 @@ def run(cfg: Config, trainer: str | None = None):
     state = {"env": benv.init(jax.random.key(cfg.seed)),
              "key": jax.random.key(cfg.seed + 1)}
 
+    if cfg.render:
+        # host-side rendering (reference traffic_env.py:285-359 via the
+        # --render hook): one episode stepped from Python, one frame
+        # per agent step for env lane 0, then the normal stats loop
+        import os
+        from ..render import EpisodeRenderer
+        rend = EpisodeRenderer(topo, os.path.join(cfg.logdir, "render"))
+        env, key = state["env"], state["key"]
+        env, _ = benv.reset(env)
+        held = jnp.zeros((benv.n_intersections, benv.n_envs), I32)
+        step_j = jax.jit(benv.step_autoreset_lazy)
+        for t in range(cfg.episode_len):
+            key, k = jax.random.split(key)
+            a, held = policy(jnp.int32(t), k, env, held)
+            env, obs, rew, done, _ = step_j(env, a)
+            rend.add(env.sim)
+        gif = rend.finish()
+        print(f"rendered {len(rend.frames)} frames to {rend.outdir}"
+              + (f" ({gif})" if gif else ""))
+        state["env"], state["key"] = env, key
+
     def one_episode():
         th0 = (np.asarray(state["env"].sim.trip_hist)
                if cfg.mode == "validate"

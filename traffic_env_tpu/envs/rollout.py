@@ -35,12 +35,14 @@ class BatchedEnv(NamedTuple):
 
 def make_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
                      on_device_spawns: bool = True,
-                     max_spawns_per_tick: int = 8,
+                     max_spawns_per_tick: int | None = None,
                      core: str = "fast", **pallas_kw) -> BatchedEnv:
     if core == "pallas":
         return make_pallas_batched_env(
             topo, cfg, n_envs, on_device_spawns=on_device_spawns,
             max_spawns_per_tick=max_spawns_per_tick, **pallas_kw)
+    if max_spawns_per_tick is None:
+        max_spawns_per_tick = 8
     env = make_env(topo, cfg, on_device_spawns=on_device_spawns,
                    max_spawns_per_tick=max_spawns_per_tick, core=core)
 
@@ -98,8 +100,8 @@ def make_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
 
 def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
                             on_device_spawns: bool = True,
-                            max_spawns_per_tick: int = 8,
-                            block_envs: int = 128,
+                            max_spawns_per_tick: int | None = None,
+                            block_envs: int = 256,
                             interpret: bool = False) -> BatchedEnv:
     """BatchedEnv whose agent step is ONE fused Pallas kernel call per
     light period (ops/pallas_window.py): the whole 10-tick window for a
@@ -113,6 +115,12 @@ def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
     from .fast_core import make_sim_fast
     from .env import localize_reward, _ordered_mean
 
+    if max_spawns_per_tick is None:
+        # on-device arrivals past the cap are deferred to the next tick
+        # by the gap chain (never dropped), so a tight cap only shifts
+        # rare >=5-arrivals-per-tick bursts; schedule mode must match
+        # the host-side row cap
+        max_spawns_per_tick = 4 if on_device_spawns else 8
     if n_envs % block_envs:
         raise ValueError(f"n_envs={n_envs} not divisible by "
                          f"block_envs={block_envs}")

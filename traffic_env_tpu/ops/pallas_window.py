@@ -187,23 +187,34 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             """One selected slot per road: max over the slot axis."""
             return jnp.max(jnp.where(mask, plane, -FINF), axis=1)
 
-        def permute(vals, onehot):
-            """vals (R, Bb) -> (rows(onehot), Bb): masked max-reduce.
-            ``onehot`` is i32; the mask compare happens post-expansion."""
-            return jnp.max(
-                jnp.where(onehot[:, :, None] > 0, vals[None], -FINF), axis=1)
+        # Row permutations / segment sums are one-hot matrix products:
+        # run them on the MXU instead of 3-D masked reductions on the
+        # VPU.  Bit-exactness: Precision.HIGHEST decomposes each f32
+        # into three non-overlapping bf16 chunks, so 1.0*x accumulates
+        # back to exactly x (one nonzero per one-hot row); seg_add sums
+        # are multiples of 0.5 with |sum| << 2^23, exact in f32 in any
+        # order.  +/-inf would produce 0*inf = NaN under a dot, so
+        # permute round-trips infinities through a +/-FMAX sentinel
+        # (real positions never approach FMAX).
+        HI = jax.lax.Precision.HIGHEST
+        pnext_f = pnext.astype(F32)
+        pprev_f = pprev.astype(F32)
+        d1h_f = d1h.astype(F32)
 
-        def permute_i(vals, onehot, fill=0):
-            big = np.int32(np.iinfo(np.int32).min)
-            out = jnp.max(jnp.where(onehot[:, :, None] > 0, vals[None], big),
-                          axis=1)
-            return jnp.where(jnp.max(onehot, axis=1)[:, None] > 0, out, fill)
+        def permute(vals, onehot_f):
+            safe = jax.lax.clamp(F32(-FMAX), vals, F32(FMAX))
+            out = jax.lax.dot(onehot_f, safe, precision=HI)
+            out = jnp.where(out >= FMAX, FINF, out)
+            return jnp.where(out <= -FMAX, -FINF, out)
+
+        def permute_i(vals, onehot_f, fill=0):
+            # int rows (|v| <= RING) are exact in f32
+            out = jax.lax.dot(onehot_f, vals.astype(F32), precision=HI)
+            return out.astype(I32)
 
         def seg_add(rewards, per_road):
             """Exact per-intersection accumulation (multiples of 0.5)."""
-            return rewards + jnp.sum(
-                jnp.where(d1h[:, :, None] > 0, per_road[None], F32(0)),
-                axis=1)
+            return rewards + jax.lax.dot(d1h_f, per_road, precision=HI)
 
         def tile_i(arr):
             """phase/elapsed (I, Bb) -> per-train-road (Rt, Bb) using
@@ -246,6 +257,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             floor_r = jnp.where(has_tail, tail_x - C_L - C_S0, FINF)
             free_r = mod_s(leading - 1 - lastcar)
             placed = jnp.zeros((R, Bb), I32)
+            ovf_cnt = jnp.zeros((R, Bb), I32)
             xplane = jnp.zeros((R, S, Bb), F32)
             gap_row = gap_state[0]
             if on_device_spawns:
@@ -271,10 +283,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                 xj = jnp.minimum(F32(C_SPAWN_X), floor_r)
                 floor_r = jnp.where(ok, xj - C_L - C_S0, floor_r)
                 ovf_j = attempt & full
-                overflow = overflow | \
-                    (jnp.max(ovf_j.astype(I32), axis=0) > 0)
-                rewards = seg_add(
-                    rewards, jnp.where(ovf_j, -OVERFLOW_PENALTY, 0.0))
+                ovf_cnt = ovf_cnt + ovf_j.astype(I32)
                 oki = ok.astype(I32)
                 placed = placed + oki
                 m = (d_last == placed[:, None, :]) & (oki[:, None, :] > 0)
@@ -282,6 +291,10 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             if on_device_spawns:
                 gap_row = jnp.where(livev, gap_row - (gap_row > 0), gap_row)
                 gap_state = gap_row[None, :]
+            # one fused overflow-penalty pass for the whole spawn loop
+            overflow = overflow | (jnp.max(ovf_cnt, axis=0) > 0)
+            rewards = seg_add(rewards,
+                              -OVERFLOW_PENALTY * ovf_cnt.astype(F32))
             pm = (d_last >= 1) & (d_last <= placed[:, None, :])
             steps_f = steps[0].astype(F32)[None, None, :]
             x = jnp.where(pm, xplane, x)
@@ -304,9 +317,9 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             red_or_yellow = ((pg_train[:, None] == phase_t)
                              | (elapsed_t < YELLOW))
             last_x = pick(x, dT == 0)                # (R, Bb)
-            next_x = permute(last_x, pnext)          # (Rt, Bb)
+            next_x = permute(last_x, pnext_f)          # (Rt, Bb)
             empt = (leading == lastcar).astype(I32)
-            next_empty = permute_i(empt, pnext) > 0
+            next_empty = permute_i(empt, pnext_f) > 0
             fake_x = jnp.where(red_or_yellow, length,
                                jnp.where(next_empty, FINF,
                                          next_x + length))
@@ -373,7 +386,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
 
             thr = count * is_train_i[:, None]
             count_in = jnp.where(has_feeder_i[:, None] > 0,
-                                 permute_i(thr, pprev), 0)
+                                 permute_i(thr, pprev_f), 0)
             ff_m = feeder_first_i[:, None] > 0
             cap_lead = jnp.where(ff_m, leading, new_leading)
             free2 = mod_s(cap_lead - 1 - lastcar)
@@ -393,12 +406,12 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             vp2 = jnp.zeros((R, S, Bb), F32)
             wp2 = jnp.zeros((R, S, Bb), F32)
             for k in range(Kc):
-                xin = jnp.minimum(permute(x_k[k], pprev), floor2)
+                xin = jnp.minimum(permute(x_k[k], pprev_f), floor2)
                 floor2 = xin - C_L - C_S0
                 mkk = dl == (k + 1)
                 xp2 = jnp.where(mkk, xin[:, None, :], xp2)
-                vp2 = jnp.where(mkk, permute(v_k[k], pprev)[:, None, :], vp2)
-                wp2 = jnp.where(mkk, permute(w_k[k], pprev)[:, None, :], wp2)
+                vp2 = jnp.where(mkk, permute(v_k[k], pprev_f)[:, None, :], vp2)
+                wp2 = jnp.where(mkk, permute(w_k[k], pprev_f)[:, None, :], wp2)
             push_mask = (dl >= 1) & (dl <= accepted[:, None, :])
             x = jnp.where(push_mask, xp2, x)
             v = jnp.where(push_mask, vp2, v)

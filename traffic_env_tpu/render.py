@@ -1,0 +1,125 @@
+"""Host-side renderer reading synced device state.
+
+The reference renders with pyglet inside the env loop (fake frame-skip
+render hook + GL lines, traffic_env.py:285-359, gym_traffic/__init__.py:6-8):
+roads drawn as segments, each training road colored by its light
+(green; yellow while ``elapsed < YELLOW_TICKS``; red), cars drawn as
+``[x - l, x]`` sub-segments along the road transform.
+
+A TPU-native build cannot render per tick from inside ``jit`` — and
+should not.  Instead this module renders *snapshots*: fetch one env's
+``SimState`` (one ``device_get`` of a few KB), draw it with matplotlib
+(Agg), and optionally assemble episode frame sequences into an
+animated GIF.  Drive it with ``--render`` (which forces
+``mode=validate``, alg_flags.py:42) through the baselines runner, or
+call ``render_frame`` directly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .constants import ARCHETYPES, L, RING, YELLOW_TICKS
+
+CAR_LENGTH = float(ARCHETYPES[0, L])
+from .topology import GridRoad
+
+GREEN = "#2e7d32"
+YELLOW = "#f9a825"
+RED = "#c62828"
+ROAD = "#9e9e9e"
+CAR = "#1565c0"
+
+
+def _road_color(topo: GridRoad, rid: int, phase, elapsed):
+    if rid >= topo.train_roads:
+        return ROAD
+    dst = topo.dest[rid]
+    red = topo.phase_group[rid] == phase[dst]
+    if red or elapsed[dst] < YELLOW_TICKS:
+        return RED if red else YELLOW
+    return GREEN
+
+
+def render_frame(topo: GridRoad, sim, ax=None, env_index: int | None = None):
+    """Draw one simulator snapshot onto a matplotlib Axes.
+
+    ``sim`` is a SimState (single env, or batched with ``env_index``
+    selecting the lane).  Works with both the full car layout
+    (R, NPARAMS, S) and the compact (R, 3, S) fast-core layout, since
+    row 0 is x in both."""
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    def get(leaf):
+        a = np.asarray(leaf)
+        return a[..., env_index] if env_index is not None else a
+
+    cars = get(sim.cars)
+    leading, lastcar = get(sim.leading), get(sim.lastcar)
+    phase, elapsed = get(sim.phase), get(sim.elapsed)
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(6, 6))
+    L = topo.length
+    for rid in range(topo.roads):
+        (x0, y0), (x1, y1) = topo.locs[rid]
+        ax.plot([x0, x1], [y0, y1],
+                color=_road_color(topo, rid, phase, elapsed),
+                linewidth=1.5, zorder=1)
+        # occupied ring slots: distance-from-leading in [1, ncars]
+        ncars = int((lastcar[rid] - leading[rid]) % RING)
+        ux, uy = (x1 - x0) / L, (y1 - y0) / L
+        for d in range(1, ncars + 1):
+            slot = (int(leading[rid]) + d) % RING
+            x = float(cars[rid, 0, slot])
+            if not np.isfinite(x):
+                continue
+            a, b = max(x - CAR_LENGTH, 0.0), min(x, L)
+            ax.plot([x0 + ux * a, x0 + ux * b],
+                    [y0 + uy * a, y0 + uy * b],
+                    color=CAR, linewidth=4, solid_capstyle="butt", zorder=2)
+    ax.set_aspect("equal")
+    ax.set_xticks([])
+    ax.set_yticks([])
+    return ax
+
+
+def save_frame(topo: GridRoad, sim, path: str, env_index: int | None = None):
+    import matplotlib.pyplot as plt
+    ax = render_frame(topo, sim, env_index=env_index)
+    ax.figure.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(ax.figure)
+    return path
+
+
+class EpisodeRenderer:
+    """Collects one frame per agent step; writes PNGs (and a GIF when
+    pillow is available)."""
+
+    def __init__(self, topo: GridRoad, outdir: str, env_index: int = 0):
+        self.topo, self.outdir, self.env_index = topo, outdir, env_index
+        os.makedirs(outdir, exist_ok=True)
+        self.frames: list[str] = []
+
+    def add(self, sim):
+        path = os.path.join(self.outdir, f"frame_{len(self.frames):04d}.png")
+        save_frame(self.topo, sim, path, env_index=self.env_index)
+        self.frames.append(path)
+        return path
+
+    def finish(self, gif_name: str = "episode.gif", duration_ms: int = 250):
+        try:
+            from PIL import Image
+        except ImportError:
+            return None
+        if not self.frames:
+            return None
+        imgs = [Image.open(p) for p in self.frames]
+        out = os.path.join(self.outdir, gif_name)
+        imgs[0].save(out, save_all=True, append_images=imgs[1:],
+                     duration=duration_ms, loop=0)
+        return out
