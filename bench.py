@@ -32,9 +32,20 @@ def main():
     p.add_argument("--platform", type=str, default="")
     p.add_argument("--core", type=str, default="auto",
                    help="auto | pallas | fast | exact")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard the env batch over N devices (dp axis); "
+                        "0 = single device")
     args = p.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.platform == "cpu" and args.mesh > 1:
+        # virtual device mesh (the axon sitecustomize rewrites
+        # XLA_FLAGS at interpreter start, so append at runtime —
+        # the backend has not initialized yet)
+        import os
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.mesh}")
 
     import traffic_env_tpu  # noqa: F401  (sets LIBTPU_INIT_ARGS)
     from traffic_env_tpu.config import Config, derive_spawn_rate
@@ -50,10 +61,20 @@ def main():
         on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
         core = ("pallas" if on_tpu and args.num_envs % 128 == 0
                 else "fast")
-    benv = make_batched_env(topo, cfg, args.num_envs, core=core)
+    mesh = None
+    if args.mesh:
+        from traffic_env_tpu.parallel import make_mesh, shard_env_state
+        mesh = make_mesh(str(args.mesh), jax.devices()[:args.mesh])
+    if core == "pallas" and mesh is not None:
+        from traffic_env_tpu.envs.rollout import make_pallas_batched_env
+        benv = make_pallas_batched_env(topo, cfg, args.num_envs, mesh=mesh)
+    else:
+        benv = make_batched_env(topo, cfg, args.num_envs, core=core)
 
     state = benv.init(jax.random.key(0))
     state, _ = benv.reset(state)
+    if mesh is not None:
+        state = shard_env_state(mesh, state)
 
     roll = jax.jit(lambda st, k, n=args.agent_steps:
                    random_rollout(benv, st, k, n))

@@ -76,3 +76,36 @@ def test_entry_compiles():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (128, 9, 2)
+
+
+@needs_multi
+def test_pallas_env_under_mesh():
+    """The fused window kernel composes with a dp mesh via shard_map:
+    sharded rollout == unsharded rollout bit-for-bit (interpreter mode
+    on virtual CPU devices)."""
+    from traffic_env_tpu.envs import build_batched_schedule
+    from traffic_env_tpu.envs.rollout import make_pallas_batched_env
+
+    topo = GridRoad(2, 2, 150.0)
+    cfg = Config(grid_m=2, grid_n=2, road_length=150.0,
+                 history=1).derive().replace(history=1)
+    cfg = derive_spawn_rate(cfg, topo.open_sides(0))
+    B = 16
+    # schedule mode: the in-kernel TPU PRNG primitive has no CPU
+    # lowering under shard_map; spawn streams come from the host
+    sched = jax.tree.map(jnp.asarray, build_batched_schedule(
+        topo, cfg, list(range(B)), 8 * cfg.light_iterations, 8))
+    kw = dict(block_envs=2, interpret=True, on_device_spawns=False)
+    benv = make_pallas_batched_env(topo, cfg, B, **kw)
+    state = benv.init(jax.random.key(0))
+    state, _ = jax.jit(benv.reset)(state, sched)
+    a = jnp.zeros((4, B), jnp.int32)
+    s1, o1, r1, d1, _ = jax.jit(benv.step)(state, a, sched)
+
+    mesh = make_mesh("", jax.devices()[:8])
+    benv_m = make_pallas_batched_env(topo, cfg, B, mesh=mesh, **kw)
+    state_m = shard_env_state(mesh, state)
+    s2, o2, r2, d2, _ = jax.jit(benv_m.step)(state_m, a, sched)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))

@@ -102,7 +102,8 @@ def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
                             on_device_spawns: bool = True,
                             max_spawns_per_tick: int | None = None,
                             block_envs: int = 256,
-                            interpret: bool = False) -> BatchedEnv:
+                            interpret: bool = False,
+                            mesh=None) -> BatchedEnv:
     """BatchedEnv whose agent step is ONE fused Pallas kernel call per
     light period (ops/pallas_window.py): the whole 10-tick window for a
     block of envs runs in VMEM, with lazy auto-reset folded in.  Reward
@@ -139,6 +140,52 @@ def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
               block_envs=block_envs, interpret=interpret)
     rep = make_repeater_window(topo, cfg, autoreset=False, **kw)
     rep_lazy = make_repeater_window(topo, cfg, autoreset=True, **kw)
+
+    if mesh is not None:
+        # Multi-chip: a pallas_call is opaque to the XLA partitioner,
+        # so the kernel is mapped over the mesh's dp axis explicitly —
+        # each device runs the fused window on its local env shard
+        # (batch is the trailing axis of every leaf); collectives are
+        # only needed by the learner (psum over grads), not the env.
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n_dp = mesh.shape["dp"]
+        if (n_envs // n_dp) % block_envs:
+            raise ValueError(
+                f"per-device batch {n_envs // n_dp} not divisible by "
+                f"block_envs={block_envs}")
+
+        def batch_spec(tree):
+            return jax.tree.map(
+                lambda l: P(*([None] * (l.ndim - 1) + ["dp"])), tree)
+
+        def shard_kern(kern):
+            def stepped(sim, action, sched=None):
+                args = (sim, action) + ((sched,) if sched is not None
+                                        else ())
+                in_specs = (batch_spec(sim), P(None, "dp")) +                     ((batch_spec(sched),) if sched is not None else ())
+                out_sim, obs, rew, done, ls = (None,) * 5
+
+                def body(*a):
+                    return kern(*a) if sched is not None else                         kern(a[0], a[1])
+                # light_secs is None outside validate mode; replace
+                # with a zero array so shard_map sees a static pytree
+                def body2(*a):
+                    sim, obs, rew, done, ls = body(*a)
+                    if ls is None:
+                        ls = jnp.zeros((0,) + done.shape[-1:], jnp.float32)
+                    return sim, obs, rew, done, ls
+                out_specs = (batch_spec(args[0]), P(None, "dp"),
+                             P(None, "dp"), P("dp"), P(None, "dp"))
+                sim, obs, rew, done, ls = shard_map(
+                    body2, mesh=mesh, in_specs=in_specs,
+                    out_specs=out_specs, check_rep=False)(*args)
+                return sim, obs, rew, done, (ls if validate else None)
+            return stepped
+
+        rep = shard_kern(rep)
+        rep_lazy = shard_kern(rep_lazy)
     remi_b = jax.vmap(fast.remi, in_axes=-1, out_axes=-1)
     loc_b = jax.vmap(lambda r: localize_reward(r, cfg.local_weight, I),
                      in_axes=-1, out_axes=-1)
