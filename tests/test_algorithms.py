@@ -66,10 +66,10 @@ def test_qlearn_learns_cartpole(tmp_path):
                  print_discounted=False, logdir=str(tmp_path / "cp"),
                  seed=3).derive().replace(history=1, episode_len=200)
     ctx, ts = qlearn.make_state(cfg)
-    first = float(ctx.greedy_episode(ts))
+    first = float(ctx.greedy_episode(ts)[0])
     for _ in range(40):
         ts, _ = ctx.run_episode(ts)
-    final = float(ctx.greedy_episode(ts))
+    final = float(ctx.greedy_episode(ts)[0])
     # undiscounted greedy return summed over 200 steps of mean reward:
     # random ~ 0.1-0.2 fraction alive; trained should be > 2x better
     assert final > max(2 * first, first + 20), (first, final)
@@ -83,3 +83,29 @@ def test_cem_improves(tmp_path):
     th, means = cem.run(cfg)
     assert th.ndim == 2 and th.shape[1] == 1  # (obs_dim, intersections)
     assert len(means) == 3
+
+
+def test_qlearn_learns_traffic(tmp_path):
+    """Learning-curve regression vs the scripted baselines (SURVEY §4):
+    trained greedy return on a 1x2 grid must clearly beat the
+    untrained policy (random-ish) — the reference's validation story
+    ("learned policies are validated by beating these", README.md:4)."""
+    from traffic_env_tpu.algorithms import qlearn
+    cfg = Config(trainer="qlearn", grid_m=1, grid_n=2, road_length=100.0,
+                 num_envs=32, episode_secs=300, light_secs=5,
+                 buffer_size=2048, batch_size=64, learning_rate=5e-4,
+                 start_eps=0.8, end_eps=0.05, annealing_episodes=25,
+                 target_update_rate=30, summary_rate=1000,
+                 validate_rate=1000, save_rate=100000,
+                 logdir=str(tmp_path / "lq"), seed=1).derive()
+    ctx, ts = qlearn.make_state(cfg)
+    first = float(ctx.greedy_episode(ts)[0])
+    for _ in range(30):
+        ts, _ = ctx.run_episode(ts)
+    final = float(ctx.greedy_episode(ts)[0])
+    # measured on this workload: random baseline ~1.24, fixed ~1.23,
+    # scripted greedy ~2.84; an untrained argmax policy lands anywhere
+    # in [0.8, 2.0].  Trained must improve decisively AND clear the
+    # random/fixed baselines by a wide margin.
+    assert final > first + 0.7, (first, final)
+    assert final > 2.0, (first, final)

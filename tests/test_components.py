@@ -192,3 +192,40 @@ def test_render_frame(tmp_path):
     out = save_frame(topo, sim, str(tmp_path / "f.png"))
     import os
     assert os.path.getsize(out) > 5000
+
+
+def test_regular_spawn_mode_on_device():
+    """--poisson=False: deterministic batches of ceil(cars_per_tick)
+    every round(1/cars_per_tick) ticks (traffic_env.py:166-176), with
+    on-device streams in both the XLA core and the Pallas kernel."""
+    import math
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from traffic_env_tpu.config import Config, derive_spawn_rate
+    from traffic_env_tpu.constants import RING
+    from traffic_env_tpu.envs.fast_core import (init_state_compact,
+                                                make_sim_fast)
+    from traffic_env_tpu.topology import GridRoad
+
+    topo = GridRoad(1, 1, 500.0)
+    cfg = Config(grid_m=1, grid_n=1, road_length=500.0, poisson=False,
+                 history=1).derive().replace(history=1)
+    cfg = derive_spawn_rate(cfg, topo.open_sides(0))
+    tpc = round(1 / (cfg.cars_per_sec * cfg.rate))
+    batch = math.ceil(cfg.cars_per_sec * cfg.rate)
+    fns = make_sim_fast(topo, cfg)
+    sim = fns.reset(init_state_compact(topo, jax.random.key(0)),
+                    jnp.ones(1, jnp.int32))
+    prev, deltas = 0, []
+    for t in range(2 * tpc):
+        sim = fns.tick(sim, jnp.ones(1, jnp.int32), None)
+        tot = int(jnp.sum((sim.lastcar - sim.leading) % RING))
+        deltas.append(tot - prev)
+        prev = tot
+    assert deltas == [batch if t % tpc == 0 else 0
+                      for t in range(2 * tpc)]
+
+    # (the Pallas kernel's regular mode uses the in-kernel TPU PRNG for
+    # road choice, which has no CPU interpreter rule — its arrival
+    # timing is covered on real TPU hardware by the bench smoke)

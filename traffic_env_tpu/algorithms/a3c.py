@@ -154,19 +154,21 @@ def make_fns(cfg: Config, benv, topo):
         env, obs = benv.reset(ts.env)
 
         def body(c, t):
-            env, obs, carry, total = c
+            env, obs, carry, total, n1 = c
             scores, _, carry = forward(ts.params,
                                        jnp.moveaxis(obs, -1, 0), carry)
             a = sigmoid_greedy(scores)
             env, obs1, rew, done, _ = benv.step_autoreset_lazy(
                 env, jnp.moveaxis(a, 0, -1))
             disc = cfg.gamma ** t.astype(F32) if cfg.print_discounted else 1.0
-            return (env, obs1, carry, total + jnp.mean(rew) * disc), None
+            return (env, obs1, carry, total + jnp.mean(rew) * disc,
+                    n1 + jnp.sum(a)), None
 
-        (env, obs, _, total), _ = jax.lax.scan(
-            body, (env, obs, jnp.zeros_like(ts.gru), F32(0)),
+        (env, obs, _, total, n1), _ = jax.lax.scan(
+            body, (env, obs, jnp.zeros_like(ts.gru), F32(0), jnp.int32(0)),
             jnp.arange(cfg.episode_len))
-        return total
+        denom = cfg.episode_len * benv.n_intersections * benv.n_envs
+        return total, env, n1.astype(F32) / denom
 
     return net, run_window, run_episode, greedy_episode, gru0
 
@@ -204,7 +206,7 @@ def train(cfg: Config, ctx: A3CCtx, ts: A3CTS, writer, ckpt):
                 writer.scalar("entropy_val", float(ent), episode)
                 writer.scalar("mean_reward", float(mean_r), episode)
             if episode % cfg.validate_rate == 0:
-                rew = float(ctx.greedy_episode(ts))
+                rew = float(ctx.greedy_episode(ts)[0])
                 validation_hook(cfg, ckpt, writer, best, episode, ts, rew)
             if episode % cfg.save_rate == 0:
                 ckpt.save(ts)
@@ -214,7 +216,11 @@ def train(cfg: Config, ctx: A3CCtx, ts: A3CTS, writer, ckpt):
 
 
 def validate(cfg: Config, ctx: A3CCtx, ts: A3CTS):
-    return float(ctx.greedy_episode(ts)), None
+    from .common import validate_telemetry
+    th0 = getattr(ts.env, "sim", None) and ts.env.sim.trip_hist
+    rew, env_final, onep = ctx.greedy_episode(ts)
+    return float(rew), validate_telemetry(cfg, ctx.benv, env_final, th0,
+                                          float(onep))
 
 
 def run(cfg: Config):

@@ -81,6 +81,8 @@ def handle_modes(cfg: Config, make_state: Callable, train: Callable,
     ckpt = Checkpointer(cfg.logdir)
     if cfg.restore:
         state = ckpt.restore(state)
+        if cfg.mode == "validate":
+            state = _ensure_trip_hist(cfg, state)
     if cfg.mode == "validate":
         data = print_running_stats(
             forever(lambda: validate(cfg, ctx, state)),
@@ -107,3 +109,44 @@ def validation_hook(cfg: Config, ckpt: Checkpointer, writer: MetricWriter,
     if best_threshold[0] < reward:
         ckpt.save(state, "best.ckpt")
         best_threshold[0] = reward
+
+
+def _ensure_trip_hist(cfg: Config, state):
+    """Checkpoints written in train mode carry trip_hist=None; a
+    validate-mode restore needs the histogram re-attached so the
+    telemetry drain works (the accumulator is validate-only state, not
+    learned state)."""
+    import jax.numpy as jnp
+    env = getattr(state, "env", None)
+    sim = getattr(env, "sim", None)
+    if sim is None or getattr(sim, "trip_hist", 0) is not None:
+        return state
+    nb = cfg.episode_ticks + 2
+    th = jnp.zeros((nb,) + tuple(sim.done.shape), jnp.int32)
+    return state.replace(env=env.replace(sim=sim.replace(trip_hist=th)))
+
+
+def validate_telemetry(cfg: Config, benv, env_after, trip_hist_before,
+                       ones_fraction: float):
+    """Assemble the validate-mode info dict the stats loop consumes
+    (util.py:68-94): action fractions, trip-time drain from the
+    on-device histogram delta, unfinished-car count.  None outside
+    validate mode or for envs without a simulator (CartPole fixture).
+    Per-step light_times need in-loop collection and are currently
+    drained only by the baselines runner."""
+    if cfg.mode != "validate" or getattr(benv.env, "sim_fns", None) is None:
+        return None
+    import jax.numpy as jnp
+    sim = env_after.sim
+    trip_times: list = []
+    if sim.trip_hist is not None and trip_hist_before is not None:
+        counts = np.asarray(sim.trip_hist) - np.asarray(trip_hist_before)
+        counts = counts.sum(axis=tuple(range(1, counts.ndim)))
+        trip_times = np.repeat(
+            np.arange(len(counts)) * cfg.rate, counts).tolist()
+    unfinished = float(jnp.sum(jax.vmap(
+        benv.env.sim_fns.cars_per_road, in_axes=-1,
+        out_axes=-1)(sim)) / benv.n_envs)
+    return {"onep": ones_fraction, "zerop": 1.0 - ones_fraction,
+            "light_times": [], "trip_times": trip_times,
+            "unfinished": unfinished}

@@ -135,7 +135,7 @@ def make_fns(cfg: Config, benv):
             else:
                 rew = rew / ((cfg.gamma ** cfg.episode_len - 1)
                              / (cfg.gamma - 1))
-        return rew
+        return rew, env, jnp.mean(ys.astype(F32))
 
     return net, run_episode, greedy_episode
 
@@ -167,7 +167,7 @@ def train(cfg: Config, ctx: PGCtx, ts: PGTS, writer, ckpt):
                 writer.scalar("loss", float(loss), episode)
                 writer.scalar("mean_reward", float(mean_r), episode)
             if episode % cfg.validate_rate == 0:
-                rew = float(ctx.greedy_episode(ts))
+                rew = float(ctx.greedy_episode(ts)[0])
                 validation_hook(cfg, ckpt, writer, best, episode, ts, rew)
             if episode % cfg.save_rate == 0:
                 ckpt.save(ts)
@@ -177,7 +177,11 @@ def train(cfg: Config, ctx: PGCtx, ts: PGTS, writer, ckpt):
 
 
 def validate(cfg: Config, ctx: PGCtx, ts: PGTS):
-    return float(ctx.greedy_episode(ts)), None
+    from .common import validate_telemetry
+    th0 = getattr(ts.env, "sim", None) and ts.env.sim.trip_hist
+    rew, env_final, onep = ctx.greedy_episode(ts)
+    return float(rew), validate_telemetry(cfg, ctx.benv, env_final, th0,
+                                          float(onep))
 
 
 def run(cfg: Config):

@@ -98,6 +98,7 @@ def make_fns(cfg: Config, benv):
 
         (loss, (diff, qm, pred)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(ts.params_main)
+        gnorm = optax.global_norm(grads) if cfg.grad_summary else F32(0)
         updates, opt_state = tx.update(grads, ts.opt_state, ts.params_main)
         params_main = optax.apply_updates(ts.params_main, updates)
         rho = ts.rho
@@ -116,7 +117,7 @@ def make_fns(cfg: Config, benv):
             lambda t, m: jnp.where(sync, m, t),
             ts.params_target, params_main)
         return ts.replace(params_target=params_target), \
-            (loss, jnp.max(pred))
+            (loss, jnp.max(pred), gnorm)
 
     def agent_step(ts: QLearnTS, _):
         key, k_act, k_train = jax.random.split(ts.key, 3)
@@ -132,25 +133,28 @@ def make_fns(cfg: Config, benv):
                         step=ts.step + 1)
         ready = (replay.idx >= replay.size) & \
             (ts.step % cfg.train_rate == 0)
-        ts, (loss, max_q) = jax.lax.cond(
+        ts, (loss, max_q, gnorm) = jax.lax.cond(
             ready, lambda t: td_train(t, k_train),
-            lambda t: (t, (F32(0), F32(0))), ts)
-        return ts, (jnp.mean(rew), loss, max_q)
+            lambda t: (t, (F32(0), F32(0), F32(0))), ts)
+        return ts, (jnp.mean(rew), loss, max_q, gnorm)
 
     @jax.jit
     def run_episode(ts: QLearnTS):
-        ts, (rews, losses, max_qs) = jax.lax.scan(
+        ts, (rews, losses, max_qs, gnorms) = jax.lax.scan(
             agent_step, ts, None, length=cfg.episode_len)
         return ts.replace(episode=ts.episode + 1), \
-            (jnp.mean(rews), jnp.mean(losses), jnp.max(max_qs))
+            (jnp.mean(rews), jnp.mean(losses), jnp.max(max_qs),
+             jnp.max(gnorms))
 
     @jax.jit
     def greedy_episode(ts: QLearnTS):
-        """Greedy validation rollout; returns the reference's
-        episode-reward scalar (discounted mean reward, util.py:68-94),
-        averaged over the env batch."""
+        """Greedy validation rollout.  Returns (reward, env_final,
+        ones_fraction): the reference's episode-reward scalar
+        (discounted mean reward, util.py:68-94) averaged over the env
+        batch, the final env state (validate-mode telemetry lives in
+        it), and the fraction of 1-actions (util.py:77-79)."""
         def body(carry, t):
-            env, obs, alive, total = carry
+            env, obs, alive, total, n1 = carry
             a, _ = act(ts.params_main, obs, F32(0), None, greedy=True)
             env, obs1, rew, done, _ = benv.step_autoreset_lazy(
                 env, jnp.moveaxis(a, 0, -1))
@@ -160,13 +164,16 @@ def make_fns(cfg: Config, benv):
             # done is masked out.
             step_r = jnp.mean(rew, axis=0) * alive.astype(F32)   # (B,)
             total = total + jnp.mean(step_r) * disc
-            return (env, obs1, alive & ~done, total), None
+            n1 = n1 + jnp.sum(a)
+            return (env, obs1, alive & ~done, total, n1), None
 
         B = benv.n_envs
-        (env, obs, alive, total), _ = jax.lax.scan(
-            body, (ts.env, ts.obs, jnp.ones(B, bool), F32(0)),
+        (env, obs, alive, total, n1), _ = jax.lax.scan(
+            body, (ts.env, ts.obs, jnp.ones(B, bool), F32(0),
+                   jnp.int32(0)),
             jnp.arange(cfg.episode_len))
-        return total
+        denom = cfg.episode_len * I * B
+        return total, env, n1.astype(F32) / denom
 
     return net, tx, run_episode, greedy_episode, act
 
@@ -203,14 +210,19 @@ def train(cfg: Config, ctx: QLearnCtx, ts: QLearnTS, writer, ckpt):
     episode = int(ts.episode)
     try:
         while cfg.total_episodes is None or episode < cfg.total_episodes:
-            ts, (mean_r, loss, max_q) = ctx.run_episode(ts)
+            ts, (mean_r, loss, max_q, gnorm) = ctx.run_episode(ts)
             episode = int(ts.episode)
             if episode % cfg.summary_rate == 0:
                 writer.scalar("loss", float(loss), episode)
                 writer.scalar("max_predicted_q", float(max_q), episode)
                 writer.scalar("mean_reward", float(mean_r), episode)
+                if cfg.grad_summary:
+                    # reference --grad_summary (a3c.py:41-46): gradient
+                    # magnitudes; scalars here instead of TF histograms
+                    writer.scalar("grad_global_norm", float(gnorm),
+                                  episode)
             if episode % cfg.validate_rate == 0:
-                rew = float(ctx.greedy_episode(ts))
+                rew = float(ctx.greedy_episode(ts)[0])
                 validation_hook(cfg, ckpt, writer, best, episode, ts, rew)
             if episode % cfg.save_rate == 0:
                 ckpt.save(ts)
@@ -220,7 +232,11 @@ def train(cfg: Config, ctx: QLearnCtx, ts: QLearnTS, writer, ckpt):
 
 
 def validate(cfg: Config, ctx: QLearnCtx, ts: QLearnTS):
-    return float(ctx.greedy_episode(ts)), None
+    from .common import validate_telemetry
+    th0 = getattr(ts.env, "sim", None) and ts.env.sim.trip_hist
+    reward, env_final, onep = ctx.greedy_episode(ts)
+    return float(reward), validate_telemetry(
+        cfg, ctx.benv, env_final, th0, float(onep))
 
 
 def run(cfg: Config):

@@ -162,7 +162,8 @@ def make_fns(cfg: Config, benv):
             ts.params_main, ts.env, ts.key, F32(0), greedy=True)
         t = jnp.arange(cfg.episode_len).astype(F32)
         disc = cfg.gamma ** t if cfg.print_discounted else jnp.ones_like(t)
-        return jnp.sum(jnp.mean(r_seq, axis=(1, 2)) * disc)
+        rew = jnp.sum(jnp.mean(r_seq, axis=(1, 2)) * disc)
+        return rew, env, jnp.mean(a_seq.astype(F32))
 
     return net, run_episode, greedy_episode
 
@@ -201,7 +202,7 @@ def train(cfg: Config, ctx: QRnnCtx, ts: QRnnTS, writer, ckpt):
                 writer.scalar("max_predicted_q", float(max_q), episode)
                 writer.scalar("mean_reward", float(mean_r), episode)
             if episode % cfg.validate_rate == 0:
-                rew = float(ctx.greedy_episode(ts))
+                rew = float(ctx.greedy_episode(ts)[0])
                 validation_hook(cfg, ckpt, writer, best, episode, ts, rew)
             if episode % cfg.save_rate == 0:
                 ckpt.save(ts)
@@ -211,7 +212,11 @@ def train(cfg: Config, ctx: QRnnCtx, ts: QRnnTS, writer, ckpt):
 
 
 def validate(cfg: Config, ctx: QRnnCtx, ts: QRnnTS):
-    return float(ctx.greedy_episode(ts)), None
+    from .common import validate_telemetry
+    th0 = getattr(ts.env, "sim", None) and ts.env.sim.trip_hist
+    rew, env_final, onep = ctx.greedy_episode(ts)
+    return float(rew), validate_telemetry(cfg, ctx.benv, env_final, th0,
+                                          float(onep))
 
 
 def run(cfg: Config):

@@ -353,25 +353,42 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
         lastcar = lastcar.at[entry].set((last_e + placed) % S)
         return cars, lastcar, rewards, overflow
 
+    # regular-mode constants (traffic_env.py:166-176): a batch of
+    # ceil(cars_per_tick) cars every round(1/cars_per_tick) ticks
+    # (every tick when the interval rounds to zero)
+    cars_per_tick = float(cfg.cars_per_sec * cfg.rate)
+    reg_tpc = int(round(1.0 / cars_per_tick)) if cars_per_tick else 0
+    reg_batch = int(np.ceil(cars_per_tick))
+
     def spawn_device(state: SimState, _sched):
         key = jax.random.wrap_key_data(state.key)
         gap = state.spawn_gap
-        key, k0 = jax.random.split(key)
-        gap = jnp.where(
-            gap < 0,
-            jnp.round(jax.random.exponential(k0, dtype=F32) * lam)
-            .astype(I32), gap)
         road_rows, n = [], jnp.int32(0)
-        for _ in range(Ks):
-            key, k1, k2 = jax.random.split(key, 3)
-            en = gap == 0
-            ridx = jax.random.randint(k1, (), 0, E)
-            road_rows.append(jnp.arange(E) == ridx)
-            new_gap = jnp.round(
-                jax.random.exponential(k2, dtype=F32) * lam).astype(I32)
-            n = n + en.astype(I32)
-            gap = jnp.where(en, new_gap, gap)
-        gap = gap - (gap > 0)
+        if cfg.poisson:
+            key, k0 = jax.random.split(key)
+            gap = jnp.where(
+                gap < 0,
+                jnp.round(jax.random.exponential(k0, dtype=F32) * lam)
+                .astype(I32), gap)
+            for _ in range(Ks):
+                key, k1, k2 = jax.random.split(key, 3)
+                en = gap == 0
+                ridx = jax.random.randint(k1, (), 0, E)
+                road_rows.append(jnp.arange(E) == ridx)
+                new_gap = jnp.round(
+                    jax.random.exponential(k2, dtype=F32) * lam).astype(I32)
+                n = n + en.astype(I32)
+                gap = jnp.where(en, new_gap, gap)
+            gap = gap - (gap > 0)
+        else:
+            due = ((state.global_tick % reg_tpc) == 0) if reg_tpc                 else jnp.asarray(True)
+            for j in range(min(reg_batch, Ks)):
+                key, k1 = jax.random.split(key)
+                ridx = jax.random.randint(k1, (), 0, E)
+                road_rows.append(jnp.arange(E) == ridx)
+                n = n + due.astype(I32)
+            for _ in range(Ks - len(road_rows)):
+                road_rows.append(jnp.zeros(E, bool))
         cars, lastcar, rewards, ovf = _spawn_common(
             state.cars, state.leading, state.lastcar, state.rewards,
             state.steps.astype(F32), jnp.stack(road_rows), n)

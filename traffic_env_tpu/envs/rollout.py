@@ -123,8 +123,16 @@ def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
         # the host-side row cap
         max_spawns_per_tick = 4 if on_device_spawns else 8
     if n_envs % block_envs:
-        raise ValueError(f"n_envs={n_envs} not divisible by "
-                         f"block_envs={block_envs}")
+        # shrink to the largest 128-multiple block that divides the
+        # batch (Mosaic needs lane-dim multiples of 128)
+        fit = next((b for b in range(min(block_envs, n_envs), 0, -128)
+                    if n_envs % b == 0 and b % 128 == 0), None)
+        if fit is None:
+            raise ValueError(
+                f"n_envs={n_envs} not divisible by block_envs="
+                f"{block_envs} and no 128-multiple block fits; "
+                f"use a batch that is a multiple of 128")
+        block_envs = fit
     # the XLA fast-core env supplies init/reset/strict-autoreset (cold
     # paths); the kernel replaces its step
     xbenv = make_batched_env(topo, cfg, n_envs,

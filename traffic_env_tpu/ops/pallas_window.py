@@ -93,6 +93,10 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
     lam = float(1.0 / (cfg.cars_per_sec * cfg.rate))
     Bb = block_envs
     learn_switch = bool(cfg.learn_switch)
+    poisson = bool(cfg.poisson)
+    cars_per_tick = float(cfg.cars_per_sec * cfg.rate)
+    reg_tpc = int(round(1.0 / cars_per_tick)) if cars_per_tick else 0
+    reg_batch = int(np.ceil(cars_per_tick))
     entry_list = [int(e) for e in topo.entrypoints]
     E = len(entry_list)
 
@@ -260,12 +264,19 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             ovf_cnt = jnp.zeros((R, Bb), I32)
             xplane = jnp.zeros((R, S, Bb), F32)
             gap_row = gap_state[0]
-            if on_device_spawns:
+            if on_device_spawns and poisson:
                 first = jnp.round(
                     -jnp.log(uniform() + 1e-12) * lam).astype(I32)
                 gap_row = jnp.where(gap_row < 0, first, gap_row)
             for j in range(Ks):
-                if on_device_spawns:
+                if on_device_spawns and not poisson:
+                    # regular mode (traffic_env.py:166-176): a batch of
+                    # reg_batch cars whenever gtick hits the interval
+                    due = ((gtick[0] % reg_tpc) == 0) if reg_tpc                         else (gtick[0] == gtick[0])
+                    en = due & livev & (j < reg_batch)
+                    ridx = jnp.minimum((uniform() * E).astype(I32), E - 1)
+                    road = entry_road_of(ridx)
+                elif on_device_spawns:
                     en = (gap_row == 0) & livev
                     ridx = jnp.minimum((uniform() * E).astype(I32), E - 1)
                     road = entry_road_of(ridx)
@@ -288,7 +299,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                 placed = placed + oki
                 m = (d_last == placed[:, None, :]) & (oki[:, None, :] > 0)
                 xplane = jnp.where(m, xj[:, None, :], xplane)
-            if on_device_spawns:
+            if on_device_spawns and poisson:
                 gap_row = jnp.where(livev, gap_row - (gap_row > 0), gap_row)
                 gap_state = gap_row[None, :]
             # one fused overflow-penalty pass for the whole spawn loop
