@@ -122,6 +122,12 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
         (x, v, wrow, leading, lastcar, phase, elapsed, waiting, detected,
          passed_dst, gap_state, steps, gtick, done) = [
             r[:] for r in in_refs]
+        # Work in (S, R, Bb): the last two dims (48, lanes) tile the
+        # (8, 128) vregs exactly, where (R, S=19->24, Bb) pads ~20% of
+        # every sublane.  Two in-kernel transposes per WINDOW buy ~17%
+        # off every per-TICK plane op (micro-benchmarked).
+        T = lambda pln: jnp.transpose(pln, (1, 0, 2))
+        x, v, wrow = T(x), T(v), T(wrow)
         action = action_ref[:]
         # Topology masks stay i32 and are compared AFTER any axis
         # expansion: Mosaic cannot reshape/relayout i1 vectors, so every
@@ -141,7 +147,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             # as its int32 bit pattern (the literal overflows i32).
             pltpu.prng_seed(pl.program_id(0) * I32(-1640531535) + gtick[0, 0])
 
-        slots3 = jax.lax.broadcasted_iota(I32, (R, S, Bb), 1)
+        slots3 = jax.lax.broadcasted_iota(I32, (S, R, Bb), 0)
         rids2 = jax.lax.broadcasted_iota(I32, (R, Bb), 0)
 
         if autoreset:
@@ -179,7 +185,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
         def d_from(idx):
             # slots3, idx in [0, S): the wrap is one conditional fold,
             # not an integer division (VPU divisions dominate otherwise)
-            diff = slots3 - idx[:, None, :]
+            diff = slots3 - idx[None, :, :]
             return jnp.where(diff < 0, diff + S, diff)
 
         def mod_s(a):
@@ -189,7 +195,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
 
         def pick(plane, mask):
             """One selected slot per road: max over the slot axis."""
-            return jnp.max(jnp.where(mask, plane, -FINF), axis=1)
+            return jnp.max(jnp.where(mask, plane, -FINF), axis=0)
 
         # Row permutations / segment sums are one-hot matrix products:
         # run them on the MXU instead of 3-D masked reductions on the
@@ -262,7 +268,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             free_r = mod_s(leading - 1 - lastcar)
             placed = jnp.zeros((R, Bb), I32)
             ovf_cnt = jnp.zeros((R, Bb), I32)
-            xplane = jnp.zeros((R, S, Bb), F32)
+            xplane = jnp.zeros((S, R, Bb), F32)
             gap_row = gap_state[0]
             if on_device_spawns and poisson:
                 first = jnp.round(
@@ -297,8 +303,8 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                 ovf_cnt = ovf_cnt + ovf_j.astype(I32)
                 oki = ok.astype(I32)
                 placed = placed + oki
-                m = (d_last == placed[:, None, :]) & (oki[:, None, :] > 0)
-                xplane = jnp.where(m, xj[:, None, :], xplane)
+                m = (d_last == placed[None, :, :]) & (oki[None, :, :] > 0)
+                xplane = jnp.where(m, xj[None, :, :], xplane)
             if on_device_spawns and poisson:
                 gap_row = jnp.where(livev, gap_row - (gap_row > 0), gap_row)
                 gap_state = gap_row[None, :]
@@ -306,7 +312,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             overflow = overflow | (jnp.max(ovf_cnt, axis=0) > 0)
             rewards = seg_add(rewards,
                               -OVERFLOW_PENALTY * ovf_cnt.astype(F32))
-            pm = (d_last >= 1) & (d_last <= placed[:, None, :])
+            pm = (d_last >= 1) & (d_last <= placed[None, :, :])
             steps_f = steps[0].astype(F32)[None, None, :]
             x = jnp.where(pm, xplane, x)
             v = jnp.where(pm, F32(C_SPAWN_V), v)
@@ -336,14 +342,14 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                                          next_x + length))
             fake_full = jnp.concatenate(
                 [fake_x, jnp.zeros((R - Rt, Bb), F32)], axis=0)
-            writem = (dL == 0) & (is_train_i[:, None, None] > 0)
-            x = jnp.where(writem, fake_full[:, None, :], x)
+            writem = (dL == 0) & (is_train_i[None, :, None] > 0)
+            x = jnp.where(writem, fake_full[None, :, :], x)
 
             # -- IDM -------------------------------------------------------
             one = jnp.where(steps[0] >= 0, F32(1), F32(2))[None, None, :]
-            ld_x = jnp.roll(x, 1, axis=1)
-            ld_v = jnp.roll(v, 1, axis=1)
-            mask = (dL >= 1) & (dL <= ncars[:, None, :])
+            ld_x = jnp.roll(x, 1, axis=0)
+            ld_v = jnp.roll(v, 1, axis=0)
+            mask = (dL >= 1) & (dL <= ncars[None, :, :])
             ld_l = jnp.where(dL == 1, F32(0), F32(C_L))
             den = F32(2 * np.sqrt(np.float32(C_A) * np.float32(C_B))) * one
             v0p = F32(C_V0) * one
@@ -358,15 +364,15 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             x = jnp.where(mask, x + _nn((dxp > 0) * dxp), x)
             v = jnp.where(mask, jnp.maximum(F32(0), v + _fin(dvr)), v)
             wrapped_i = (leading > lastcar).astype(I32)
-            in_second = (wrapped_i[:, None, :] > 0) & \
-                (slots3 <= lastcar[:, None, :])
+            in_second = (wrapped_i[None, :, :] > 0) & \
+                (slots3 <= lastcar[None, :, :])
             metric = jnp.where(in_second, x, v)
             wait_inc = jax.lax.slice_in_dim(
-                jnp.sum((mask & (metric < THRESH)).astype(I32), axis=1),
+                jnp.sum((mask & (metric < THRESH)).astype(I32), axis=0),
                 0, Rt, axis=0)
             det_cnt = jax.lax.slice_in_dim(
                 jnp.sum((mask & (x > length - DETECT_RANGE)).astype(I32),
-                        axis=1), 0, Rt, axis=0)
+                        axis=0), 0, Rt, axis=0)
             occupied = jax.lax.slice_in_dim(ncars, 0, Rt, axis=0) > 0
             occ_live = occupied & (livei[None, :] > 0)
             waiting = waiting + jnp.where(occ_live, wait_inc, 0)
@@ -378,7 +384,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             count = jnp.zeros((R, Bb), I32)
             x_k, v_k, w_k = [], [], []
             for k in range(1, Kc + 1):
-                ck = jnp.max((beyond & (dL == k)).astype(I32), axis=1) > 0
+                ck = jnp.max((beyond & (dL == k)).astype(I32), axis=0) > 0
                 run = ck if run is None else run & ck
                 count = count + run.astype(I32)
                 mk = dL == k
@@ -389,10 +395,10 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             fake_xr = pick(x, lead_mask)
             fake_vr = pick(v, lead_mask)
             fake_wr = pick(wrow, lead_mask)
-            pop_mask = (dL >= 1) & (dL <= count[:, None, :])
-            x = jnp.where(pop_mask, fake_xr[:, None, :], x)
-            v = jnp.where(pop_mask, fake_vr[:, None, :], v)
-            wrow = jnp.where(pop_mask, fake_wr[:, None, :], wrow)
+            pop_mask = (dL >= 1) & (dL <= count[None, :, :])
+            x = jnp.where(pop_mask, fake_xr[None, :, :], x)
+            v = jnp.where(pop_mask, fake_vr[None, :, :], v)
+            wrow = jnp.where(pop_mask, fake_wr[None, :, :], wrow)
             new_leading = mod_s(leading + count)
 
             thr = count * is_train_i[:, None]
@@ -413,17 +419,17 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                               (new_leading != lastcar).astype(I32)) > 0
             floor2 = jnp.where(occ_t, tail_x2 - C_L - C_S0, FINF)
             dl = dT
-            xp2 = jnp.zeros((R, S, Bb), F32)
-            vp2 = jnp.zeros((R, S, Bb), F32)
-            wp2 = jnp.zeros((R, S, Bb), F32)
+            xp2 = jnp.zeros((S, R, Bb), F32)
+            vp2 = jnp.zeros((S, R, Bb), F32)
+            wp2 = jnp.zeros((S, R, Bb), F32)
             for k in range(Kc):
                 xin = jnp.minimum(permute(x_k[k], pprev_f), floor2)
                 floor2 = xin - C_L - C_S0
                 mkk = dl == (k + 1)
-                xp2 = jnp.where(mkk, xin[:, None, :], xp2)
-                vp2 = jnp.where(mkk, permute(v_k[k], pprev_f)[:, None, :], vp2)
-                wp2 = jnp.where(mkk, permute(w_k[k], pprev_f)[:, None, :], wp2)
-            push_mask = (dl >= 1) & (dl <= accepted[:, None, :])
+                xp2 = jnp.where(mkk, xin[None, :, :], xp2)
+                vp2 = jnp.where(mkk, permute(v_k[k], pprev_f)[None, :, :], vp2)
+                wp2 = jnp.where(mkk, permute(w_k[k], pprev_f)[None, :, :], wp2)
+            push_mask = (dl >= 1) & (dl <= accepted[None, :, :])
             x = jnp.where(push_mask, xp2, x)
             v = jnp.where(push_mask, vp2, v)
             wrow = jnp.where(push_mask, wp2, wrow)
@@ -451,8 +457,9 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             last_rew = jnp.where(lm, rewards, last_rew)
             done = jnp.where(lm, overflow.astype(I32)[None, :], done)
 
-        outs = (x, v, wrow, leading, lastcar, phase, elapsed, waiting,
-                detected, passed_dst, gap_state, steps, gtick, done)
+        outs = (T(x), T(v), T(wrow), leading, lastcar, phase, elapsed,
+                waiting, detected, passed_dst, gap_state, steps, gtick,
+                done)
         for ref, val in zip(out_refs, outs):
             ref[:] = val
         acc_passed_ref[:] = acc_passed
