@@ -229,3 +229,34 @@ def test_regular_spawn_mode_on_device():
     # (the Pallas kernel's regular mode uses the in-kernel TPU PRNG for
     # road choice, which has no CPU interpreter rule — its arrival
     # timing is covered on real TPU hardware by the bench smoke)
+
+
+def test_exact_mode_flag():
+    """--exact=true binds host-precomputed MT19937 arrival streams to
+    the env surface: runs are bit-reproducible and schedule-free at the
+    call site."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from traffic_env_tpu.algorithms.common import build_env
+    from traffic_env_tpu.config import Config
+
+    cfg = Config(grid_m=1, grid_n=2, road_length=80.0, num_envs=4,
+                 episode_secs=60, total_episodes=2, exact=True,
+                 seed=7, trainer="fixed", history=1).derive() \
+        .replace(history=1)
+
+    def run_once():
+        topo, c, benv = build_env(cfg)
+        st = benv.init(jax.random.key(c.seed))
+        st, obs = benv.reset(st)          # no sched argument needed
+        outs = []
+        for _ in range(5):
+            st, obs, rew, done, _ = benv.step_autoreset_lazy(
+                st, jnp.zeros((2, 4), jnp.int32))
+            outs.append(np.asarray(rew))
+        return np.stack(outs)
+
+    a, b = run_once(), run_once()
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a).sum() > 0  # cars actually spawned and scored

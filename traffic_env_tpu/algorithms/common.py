@@ -47,8 +47,26 @@ def build_env(cfg: Config, n_envs: int | None = None,
             jax.devices()[0].platform not in ("cpu", "gpu")
         core = ("pallas" if on_tpu and n % 128 == 0
                 and not cfg.mesh_shape
-                and cfg.mode != "validate" else "fast")
-    benv = make_batched_env(topo, cfg, n, core=core)
+                and cfg.mode != "validate"
+                and not cfg.exact else "fast")
+    if cfg.exact:
+        # bit-exact parity mode: host-precomputed MT19937 arrival
+        # streams (spawn.py), bound transparently to the env surface.
+        # Sized for the full run; keep num_envs modest in this mode.
+        import jax.numpy as jnp
+        from ..envs.rollout import bind_schedule
+        from ..envs.spawn import build_batched_schedule
+        n_eps = (cfg.total_episodes or 50) + 4
+        ticks = n_eps * (cfg.episode_ticks
+                         + (cfg.warmup_lights + cfg.history + 1)
+                         * cfg.light_iterations)
+        sched = jax.tree.map(jnp.asarray, build_batched_schedule(
+            topo, cfg, [cfg.seed + i for i in range(n)], ticks, 8))
+        benv = make_batched_env(topo, cfg, n, core=core,
+                                on_device_spawns=False)
+        benv = bind_schedule(benv, sched)
+    else:
+        benv = make_batched_env(topo, cfg, n, core=core)
     return topo, cfg, benv
 
 

@@ -259,3 +259,19 @@ def random_rollout(benv: BatchedEnv, state: EnvState, key,
     (state, key), (rews, dones) = jax.lax.scan(
         body, (state, key), None, length=n_agent_steps)
     return state, key, rews, dones
+
+
+def bind_schedule(benv: BatchedEnv, sched) -> BatchedEnv:
+    """Close a host-precomputed SpawnSchedule over every step/reset fn,
+    so schedule-driven (bit-exact parity) envs present the same
+    no-schedule call surface as on-device-spawn envs."""
+    return benv._replace(
+        reset=lambda state, s=None: benv.reset(state, s if s is not None
+                                               else sched),
+        step=lambda st, a, s=None: benv.step(st, a, s if s is not None
+                                             else sched),
+        step_autoreset=lambda st, a, s=None: benv.step_autoreset(
+            st, a, s if s is not None else sched),
+        step_autoreset_lazy=lambda st, a, s=None: benv.step_autoreset_lazy(
+            st, a, s if s is not None else sched),
+    )
