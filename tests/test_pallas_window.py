@@ -178,9 +178,15 @@ def test_inkernel_autoreset_matches_external_reset():
     sa, sb = mk(), mk()
     step_a = jax.jit(lambda s, a: rep_a(s, a, sched))
     step_b = jax.jit(lambda s, a: rep_b(s, a, sched))
-    reset_b = jax.jit(jax.vmap(
-        lambda s: fns.reset(s, jnp.zeros(1, jnp.int32)),
-        in_axes=-1, out_axes=-1))
+    from traffic_env_tpu.ops.pallas_window import lazy_reset_phase
+
+    def reset_like_kernel(st):
+        # the kernel's schedule-mode lazy reset draws a deterministic
+        # hash phase from each lane's frozen global tick
+        ph = lazy_reset_phase(st.global_tick, 1)      # (1, B)
+        return jax.vmap(fns.reset, in_axes=(-1, 0), out_axes=-1)(
+            st, jnp.transpose(ph))
+    reset_b = jax.jit(reset_like_kernel)
     n_resets = 0
     a = jnp.zeros((1, B), jnp.int32)
     for t in range(steps):

@@ -43,8 +43,10 @@ def build_env(cfg: Config, n_envs: int | None = None,
     cfg = derive_spawn_rate(cfg, topo.open_sides(spec))
     n = n_envs or cfg.num_envs
     if core == "auto":
+        # positive TPU check: unknown plugin platforms fall back to the
+        # XLA core instead of attempting a Mosaic compile
         on_tpu = jax.default_backend() == "tpu" or \
-            jax.devices()[0].platform not in ("cpu", "gpu")
+            jax.devices()[0].platform in ("tpu", "axon")
         core = ("pallas" if on_tpu and n % 128 == 0
                 and not cfg.mesh_shape
                 and cfg.mode != "validate"
@@ -56,7 +58,12 @@ def build_env(cfg: Config, n_envs: int | None = None,
         import jax.numpy as jnp
         from ..envs.rollout import bind_schedule
         from ..envs.spawn import build_batched_schedule
-        n_eps = (cfg.total_episodes or 50) + 4
+        if cfg.total_episodes is None:
+            raise ValueError(
+                "--exact requires --total_episodes: the host arrival "
+                "schedule is materialized for the whole run, and an "
+                "unbounded run would silently replay its final tick")
+        n_eps = cfg.total_episodes + 4
         ticks = n_eps * (cfg.episode_ticks
                          + (cfg.warmup_lights + cfg.history + 1)
                          * cfg.light_iterations)
@@ -87,10 +94,13 @@ def handle_modes(cfg: Config, make_state: Callable, train: Callable,
         # that: any field differing from the dataclass default was set
         # explicitly (or derived — derive() recomputes those anyway).
         import dataclasses as _dc
+        from ..config import explicit_cli_flags
         defaults = Config()
+        explicit = explicit_cli_flags()
         overrides = {f.name: getattr(cfg, f.name)
                      for f in _dc.fields(Config)
-                     if getattr(cfg, f.name) != getattr(defaults, f.name)}
+                     if f.name in explicit
+                     or getattr(cfg, f.name) != getattr(defaults, f.name)}
         cfg = load_settings(cfg.logdir).replace(**overrides).derive()
     else:
         remkdir(cfg.logdir)

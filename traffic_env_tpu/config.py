@@ -25,6 +25,15 @@ from typing import Callable, Optional
 # Registered derivation callbacks: Config -> dict of field overrides.
 _DERIVATIONS: list[Callable[["Config"], dict]] = []
 
+# Flags the last parse_flags() call saw explicitly on the command line
+# (restore mode lets these override the settings.json snapshot even
+# when their value equals the dataclass default).
+_EXPLICIT_CLI: set = set()
+
+
+def explicit_cli_flags() -> set:
+    return set(_EXPLICIT_CLI)
+
 
 def add_derivation(fn: Callable[["Config"], dict]) -> Callable:
     _DERIVATIONS.append(fn)
@@ -207,4 +216,10 @@ def parse_flags(argv=None) -> Config:
             typ = {"int": int, "float": float, "str": str}.get(f.type, str)
             parser.add_argument(name, type=typ, default=f.default)
     ns = parser.parse_args(argv)
+    import sys
+    argv = sys.argv[1:] if argv is None else argv
+    _EXPLICIT_CLI.clear()
+    for tok in argv:
+        if tok.startswith("--"):
+            _EXPLICIT_CLI.add(tok[2:].split("=", 1)[0])
     return Config(**vars(ns)).derive()

@@ -169,7 +169,9 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
         if cfg.local_weight > 1:
             rew = localize_reward(rew, cfg.local_weight, I)
         if cfg.squish_rewards:
-            rew = _ordered_mean(rew, I)
+            # reward_size=1: a length-1 vector, not a scalar, so the
+            # fast and pallas paths produce identically-shaped rewards
+            rew = _ordered_mean(rew, I)[None]
         return sim, obs, rew, done, light_secs
 
     # ------------------------------------------------------------------

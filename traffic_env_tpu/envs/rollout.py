@@ -172,15 +172,13 @@ def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
             def stepped(sim, action, sched=None):
                 args = (sim, action) + ((sched,) if sched is not None
                                         else ())
-                in_specs = (batch_spec(sim), P(None, "dp")) +                     ((batch_spec(sched),) if sched is not None else ())
-                out_sim, obs, rew, done, ls = (None,) * 5
+                in_specs = (batch_spec(sim), P(None, "dp")) + \
+                    ((batch_spec(sched),) if sched is not None else ())
 
-                def body(*a):
-                    return kern(*a) if sched is not None else                         kern(a[0], a[1])
-                # light_secs is None outside validate mode; replace
-                # with a zero array so shard_map sees a static pytree
                 def body2(*a):
-                    sim, obs, rew, done, ls = body(*a)
+                    # light_secs is None outside validate mode; replace
+                    # with a zero array so shard_map sees a static pytree
+                    sim, obs, rew, done, ls = kern(*a)
                     if ls is None:
                         ls = jnp.zeros((0,) + done.shape[-1:], jnp.float32)
                     return sim, obs, rew, done, ls

@@ -72,6 +72,24 @@ def _nn(p):
     return jnp.maximum(p, F32(0))
 
 
+def _hash_phase(gtick_row, I, Bb):
+    """Deterministic pseudo-random 0/1 phase per (intersection, lane)
+    from the global tick: integer Weyl/Knuth mixing, bit 14."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (I, Bb), 0)
+    h = (gtick_row + 1) * jnp.int32(-1640531535) + ii * jnp.int32(40503)
+    h = h ^ jax.lax.shift_right_logical(h, 13)
+    return jax.lax.shift_right_logical(h, 14) & 1
+
+
+def lazy_reset_phase(gtick, n_intersections):
+    """Host-visible twin of the kernel's schedule-mode lazy-autoreset
+    phase rule: phase drawn deterministically from the env's global
+    tick (batch-trailing).  Use to reproduce kernel auto-resets
+    outside the kernel (tests, external reset parity)."""
+    g = jnp.asarray(gtick)[None, :]
+    return _hash_phase(g, n_intersections, g.shape[-1])
+
+
 def _fin(p):
     return jax.lax.clamp(F32(-FMAX), p, F32(FMAX))
 
@@ -145,7 +163,11 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
         if on_device_spawns:
             # Knuth multiplicative-hash constant 2654435761, expressed
             # as its int32 bit pattern (the literal overflows i32).
-            pltpu.prng_seed(pl.program_id(0) * I32(-1640531535) + gtick[0, 0])
+            # Seed from the block's MAX gtick: a frozen (done) lane 0
+            # would otherwise repeat the seed every window and hand all
+            # live lanes an identical arrival stream.
+            pltpu.prng_seed(pl.program_id(0) * I32(-1640531535)
+                            + jnp.max(gtick))
 
         slots3 = jax.lax.broadcasted_iota(I32, (S, R, Bb), 0)
         rids2 = jax.lax.broadcasted_iota(I32, (R, Bb), 0)
@@ -174,7 +196,10 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             if on_device_spawns:
                 rphase = (pltpu.prng_random_bits((I, Bb)) & 1).astype(I32)
             else:
-                rphase = jnp.zeros((I, Bb), I32)
+                # schedule mode cannot use the in-kernel PRNG (no CPU
+                # lowering): derive a deterministic pseudo-random phase
+                # from (gtick, intersection) — see lazy_reset_phase
+                rphase = _hash_phase(gtick[0][None, :], I, Bb)
             phase = jnp.where(rs2, rphase, phase)
             done = jnp.where(rs2, 0, done)
 
@@ -232,8 +257,13 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             return jnp.concatenate([arr, arr, arr, arr], axis=0)
 
         def uniform():
+            # prng_random_bits yields SIGNED int32: a `>>` would be an
+            # arithmetic shift and produce negative "uniforms" half the
+            # time (NaN exponential gaps, entry-road bias).  Logical
+            # shift keeps the high 24 bits as a value in [0, 2^24).
             bits = pltpu.prng_random_bits((1, Bb))
-            return ((bits >> 8).astype(F32) * F32(1.0 / (1 << 24)))[0]
+            u24 = jax.lax.shift_right_logical(bits, 8)
+            return (u24.astype(F32) * F32(1.0 / (1 << 24)))[0]
 
         def entry_road_of(idx):
             out = jnp.zeros_like(idx)
@@ -396,6 +426,12 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             fake_vr = pick(v, lead_mask)
             fake_wr = pick(wrow, lead_mask)
             pop_mask = (dL >= 1) & (dL <= count[None, :, :])
+            # receiver tail read below must see the PRE-pop plane (the
+            # oracle's add_car runs before a feeder-first receiver's own
+            # pops; fast_core reads its x snapshot the same way) — a
+            # fully-crossing receiver queue would otherwise clamp the
+            # incoming car against a fake-leader value
+            x_prepop = x
             x = jnp.where(pop_mask, fake_xr[None, :, :], x)
             v = jnp.where(pop_mask, fake_vr[None, :, :], v)
             wrow = jnp.where(pop_mask, fake_wr[None, :, :], wrow)
@@ -412,7 +448,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             overflow = overflow | (jnp.max(n_over, axis=0) > 0)
             rewards = seg_add(rewards,
                               -OVERFLOW_PENALTY * n_over.astype(F32))
-            tail_x2 = pick(x, dT == 0)
+            tail_x2 = pick(x_prepop, dT == 0)
             # select between i32 operands, not i1 (Mosaic cannot trunc
             # the i8-backed bool select result back to a mask)
             occ_t = jnp.where(ff_m, (leading != lastcar).astype(I32),
