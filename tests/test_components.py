@@ -56,10 +56,14 @@ def test_transition_replay_ring():
     r = jnp.ones((4, 1))
     d = jnp.zeros(4, bool)
     rep = rep.add_batch(s, a, r, d, s + 100)
-    assert int(rep.idx) == 4
+    assert int(rep.filled) == 4 and int(rep.cursor) == 4
     rep = rep.add_batch(s + 1, a, r, d, s + 101)
     rep = rep.add_batch(s + 2, a, r, d, s + 102)  # wraps
-    assert int(rep.idx) == 12
+    # fill gate saturates at capacity (int32-overflow-proof); the ring
+    # cursor keeps rotating
+    assert int(rep.filled) == 8 and int(rep.cursor) == 4
+    # the wrap overwrote the oldest slots with the newest batch
+    np.testing.assert_allclose(np.asarray(rep.s[0]), np.asarray(s[0] + 2))
     ss, aa, rr, nd, ss1 = rep.sample(jax.random.key(0), 16)
     assert ss.shape == (16, 3) and nd.shape == (16, 1)
     np.testing.assert_allclose(np.asarray(nd), 1.0)
@@ -260,3 +264,31 @@ def test_exact_mode_flag():
     a, b = run_once(), run_once()
     np.testing.assert_array_equal(a, b)
     assert np.abs(a).sum() > 0  # cars actually spawned and scored
+
+
+def test_masked_gae_and_discount():
+    """GAE/returns must cut at episode boundaries (auto-reset batches):
+    no value bootstrap or reward leakage across done=1 steps."""
+    import jax.numpy as jnp
+    import numpy as np
+    from traffic_env_tpu.ops import gae
+    from traffic_env_tpu.ops.discount import discount
+
+    T, B = 5, 1
+    r = jnp.asarray(np.arange(1, T + 1, dtype=np.float32))[:, None]
+    v = jnp.zeros((T, B), jnp.float32)
+    boot = jnp.full((B,), 100.0, jnp.float32)
+    done = np.zeros((T, B), np.float32)
+    done[2, 0] = 1.0                       # episode ends at t=2
+    nd = jnp.asarray(1.0 - done)
+    adv, ret = gae(r, v, boot, gamma=0.5, lam=1.0, nd=nd)
+    # returns after the boundary: t=3: 4 + 0.5*(5 + 0.5*100*1) ... but
+    # t=2 must NOT see t=3 rewards or the bootstrap
+    assert float(ret[2, 0]) == 3.0, ret
+    assert float(ret[1, 0]) == 2.0 + 0.5 * 3.0
+    # bootstrap flows into the last step only
+    assert float(ret[4, 0]) == 5.0 + 0.5 * 100.0
+    out = discount(jnp.asarray(np.ones((T, B), np.float32)), 0.5,
+                   nd=nd)
+    assert float(out[2, 0]) == 1.0         # cut at the boundary
+    assert float(out[0, 0]) == 1 + 0.5 * (1 + 0.5 * 1)

@@ -17,7 +17,10 @@ and rewards scaled by 1/100 (a3c.py:100-107,126), loss = 0.5*value +
 policy - 0.001*entropy with global-norm-40 clip (a3c.py:32-40), and the
 known reference defects (undefined ``step``, mis-called ``discount``,
 truncated if at a3c.py:86-89) replaced by the intended semantics per
-SURVEY.md §2.3.  ``--conv_gru`` swaps in the grid-shaped ConvGRU policy
+SURVEY.md §2.3.  GAE and the GRU carry are cut at auto-reset episode
+boundaries; the loss replays the window's GRU from the window-start
+carry without mid-window resets (a small approximation affecting only
+the rare post-overflow steps inside one 30-step window).  ``--conv_gru`` swaps in the grid-shaped ConvGRU policy
 (the reference shipped its ConvGRUCell unused; config 5 of BASELINE.md
 names it).
 """
@@ -74,8 +77,12 @@ def make_fns(cfg: Config, benv, topo):
     tx = optax.chain(optax.clip_by_global_norm(40.0),
                      optax.adam(cfg.learning_rate))
 
+    def flat_bf(obs):
+        """trailing-batch obs (possibly history-stacked) -> (B, feats)"""
+        return jnp.moveaxis(obs, -1, 0).reshape(B, -1)
+
     def forward(params, obs, carry):
-        """One step: obs (B, obs_dim) -> scores (B, I), value, carry."""
+        """One step: obs (B, feats) -> scores (B, I), value, carry."""
         scores, value, carry = net.apply(params, obs[:, None, :], carry)
         return scores[:, 0], value[:, 0], carry
 
@@ -83,14 +90,19 @@ def make_fns(cfg: Config, benv, topo):
         def body(c, _):
             env, obs, carry, key = c
             key, k = jax.random.split(key)
-            obs_bf = jnp.moveaxis(obs, -1, 0)
+            obs_bf = flat_bf(obs)
             scores, value, carry2 = forward(params, obs_bf, carry)
             a = sigmoid_greedy(scores) if greedy else \
                 sigmoid_decision(k, scores, eps, cfg.exploration)
             env, obs1, rew, done, _ = benv.step_autoreset_lazy(
                 env, jnp.moveaxis(a, 0, -1))
+            # GRU carry resets at auto-reset boundaries (the reference
+            # threads state_in per episode, a3c.py:52-63)
+            carry2 = jnp.where(
+                done.reshape((-1,) + (1,) * (carry2.ndim - 1)),
+                0.0, carry2)
             out = (obs_bf, a.astype(F32), jnp.moveaxis(rew, -1, 0),
-                   value, done, carry)
+                   value, done)
             return (env, obs1, carry2, key), out
 
         (env, obs, carry, key), seq = jax.lax.scan(
@@ -108,8 +120,8 @@ def make_fns(cfg: Config, benv, topo):
         ret_bt = jnp.moveaxis(returns, 0, 1)
         value_loss = 0.5 * jnp.mean(jnp.sum(
             jnp.square(ret_bt - values), axis=-1))
-        probs = jax.nn.sigmoid(scores)
-        ent = -jnp.mean(probs * jnp.log(probs + 1e-8))
+        from .exploration import entropy as _entropy
+        ent = _entropy(jax.nn.sigmoid(scores))
         loss = 0.5 * value_loss + policy_loss - 0.001 * ent
         return loss, (policy_loss, value_loss, ent)
 
@@ -120,13 +132,14 @@ def make_fns(cfg: Config, benv, topo):
         eps = anneal(cfg.start_eps, cfg.end_eps, cfg.annealing_episodes,
                      ts.episode)
         carry0 = ts.gru
-        env, obs, carry, key, (obs_seq, act_seq, rew_seq, val_seq, done_seq,
-                               _) = rollout(ts.params, ts.env, ts.obs,
-                                            ts.gru, ts.key, eps)
+        (env, obs, carry, key,
+         (obs_seq, act_seq, rew_seq, val_seq, done_seq)) = rollout(
+             ts.params, ts.env, ts.obs, ts.gru, ts.key, eps)
         # bootstrap value of the final obs (a3c.py:121-124)
-        _, v_boot, _ = forward(ts.params, jnp.moveaxis(obs, -1, 0), carry)
+        _, v_boot, _ = forward(ts.params, flat_bf(obs), carry)
         rew_seq = rew_seq / F32(100.0)                # a3c.py:126
-        adv, returns = gae(rew_seq, val_seq, v_boot, cfg.gamma, cfg.lam)
+        adv, returns = gae(rew_seq, val_seq, v_boot, cfg.gamma, cfg.lam,
+                           nd=1.0 - done_seq.astype(F32))
         adv = jax.lax.stop_gradient(adv)
         returns = jax.lax.stop_gradient(returns)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -154,36 +167,39 @@ def make_fns(cfg: Config, benv, topo):
         env, obs = benv.reset(ts.env)
 
         def body(c, t):
-            env, obs, carry, total, n1 = c
-            scores, _, carry = forward(ts.params,
-                                       jnp.moveaxis(obs, -1, 0), carry)
+            env, obs, carry, alive, total, n1 = c
+            scores, _, carry = forward(ts.params, flat_bf(obs), carry)
             a = sigmoid_greedy(scores)
             env, obs1, rew, done, _ = benv.step_autoreset_lazy(
                 env, jnp.moveaxis(a, 0, -1))
             disc = cfg.gamma ** t.astype(F32) if cfg.print_discounted else 1.0
-            return (env, obs1, carry, total + jnp.mean(rew) * disc,
+            # episode_reward stops at each env's first done
+            step_r = jnp.mean(rew, axis=0) * alive.astype(F32)
+            return (env, obs1, carry, alive & ~done,
+                    total + jnp.mean(step_r) * disc,
                     n1 + jnp.sum(a)), None
 
-        (env, obs, _, total, n1), _ = jax.lax.scan(
-            body, (env, obs, jnp.zeros_like(ts.gru), F32(0), jnp.int32(0)),
+        (env, obs, _, alive, total, n1), _ = jax.lax.scan(
+            body, (env, obs, jnp.zeros_like(ts.gru),
+                   jnp.ones(B, bool), F32(0), jnp.int32(0)),
             jnp.arange(cfg.episode_len))
         denom = cfg.episode_len * benv.n_intersections * benv.n_envs
         return total, env, n1.astype(F32) / denom
 
-    return net, run_window, run_episode, greedy_episode, gru0
+    return net, tx, run_window, run_episode, greedy_episode, gru0
 
 
 def make_state(cfg: Config):
     topo, cfg, benv = build_env(cfg)
-    net, run_window, run_episode, greedy_episode, gru0 = make_fns(
+    net, tx, run_window, run_episode, greedy_episode, gru0 = make_fns(
         cfg, benv, topo)
     key = jax.random.key(cfg.seed)
     k_env, k_net, k_ts = jax.random.split(key, 3)
     env = benv.init(k_env)
     env, obs = jax.jit(benv.reset)(env)
-    params = net.init(k_net, jnp.zeros((1, 1, benv.env.obs_dim), F32))
-    tx = optax.chain(optax.clip_by_global_norm(40.0),
-                     optax.adam(cfg.learning_rate))
+    import numpy as np
+    in_dim = int(np.prod(benv.env.observation_space.shape))
+    params = net.init(k_net, jnp.zeros((1, 1, in_dim), F32))
     ts = A3CTS(params=params, opt_state=tx.init(params), env=env, obs=obs,
                gru=gru0(), step=jnp.int32(0), episode=jnp.int32(0),
                key=k_ts)
@@ -219,8 +235,8 @@ def validate(cfg: Config, ctx: A3CCtx, ts: A3CTS):
     from .common import validate_telemetry
     th0 = getattr(ts.env, "sim", None) and ts.env.sim.trip_hist
     rew, env_final, onep = ctx.greedy_episode(ts)
-    return float(rew), validate_telemetry(cfg, ctx.benv, env_final, th0,
-                                          float(onep))
+    info = validate_telemetry(cfg, ctx.benv, env_final, th0, float(onep))
+    return float(rew), info, ts.replace(env=env_final)
 
 
 def run(cfg: Config):

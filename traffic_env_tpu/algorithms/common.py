@@ -112,8 +112,20 @@ def handle_modes(cfg: Config, make_state: Callable, train: Callable,
         if cfg.mode == "validate":
             state = _ensure_trip_hist(cfg, state)
     if cfg.mode == "validate":
+        box = [state]
+
+        def _one():
+            out = validate(cfg, ctx, box[0])
+            # learners return (reward, info, advanced_state) so
+            # consecutive validation episodes see fresh env state
+            # instead of replaying one deterministic trajectory
+            if len(out) == 3:
+                reward, info, box[0] = out
+                return reward, info
+            return out
+
         data = print_running_stats(
-            forever(lambda: validate(cfg, ctx, state)),
+            forever(_one),
             max_iterations=None if not cfg.total_episodes
             else cfg.total_episodes)
         if cfg.interactive:

@@ -66,20 +66,22 @@ def make_fns(cfg: Config, benv):
         def body(c, _):
             env, obs, gru, key = c
             key, k = jax.random.split(key)
-            obs_bf = jnp.moveaxis(obs, -1, 0)
+            obs_bf = jnp.moveaxis(obs, -1, 0).reshape(B, -1)
             scores, gru = net.apply(params, obs_bf[:, None, :], gru)
             scores = scores[:, 0]
             a = sigmoid_greedy(scores) if greedy else \
                 sigmoid_decision(k, scores, eps, cfg.exploration)
             env, obs1, rew, done, _ = benv.step_autoreset_lazy(
                 env, jnp.moveaxis(a, 0, -1))
+            # GRU carry resets at auto-reset boundaries
+            gru = jnp.where(done[:, None], 0.0, gru)
             return (env, obs1, gru, key), \
-                (obs_bf, a.astype(F32), jnp.moveaxis(rew, -1, 0))
+                (obs_bf, a.astype(F32), jnp.moveaxis(rew, -1, 0), done)
 
         gru0 = jnp.zeros((B, net.hidden), F32)
-        (env, _, _, key), (xs, ys, rs) = jax.lax.scan(
+        (env, _, _, key), (xs, ys, rs, ds) = jax.lax.scan(
             body, (env, obs, gru0, key), None, length=cfg.episode_len)
-        return env, key, xs, ys, rs
+        return env, key, xs, ys, rs, ds
 
     def loss_fn(params, xs, ys, epr):
         # xs (T, B, obs) -> (B, T, obs)
@@ -93,10 +95,11 @@ def make_fns(cfg: Config, benv):
         eps = anneal(cfg.start_eps, cfg.end_eps, cfg.annealing_episodes,
                      ts.episode)
         key, k = jax.random.split(ts.key)
-        env, key2, xs, ys, rs = collect(ts.params, ts.env, k, eps)
+        env, key2, xs, ys, rs, ds = collect(ts.params, ts.env, k, eps)
         # per-intersection reward columns (polgrad feeds the reward
         # vector per action head, polgrad_rnn.py:19,28-31)
-        epr = discount(rs, cfg.gamma, cfg.use_avg)
+        epr = discount(rs, cfg.gamma, cfg.use_avg,
+                       nd=1.0 - ds.astype(F32))
         if not cfg.use_avg:
             epr = (epr - jnp.mean(epr)) / (jnp.std(epr) + EPS)
         (loss, grads) = jax.value_and_grad(loss_fn)(ts.params, xs, ys, epr)
@@ -124,11 +127,15 @@ def make_fns(cfg: Config, benv):
 
     @jax.jit
     def greedy_episode(ts: PGTS):
-        env, key, xs, ys, rs = collect(ts.params, ts.env, ts.key, F32(0),
-                                       greedy=True)
+        env, key, xs, ys, rs, ds = collect(ts.params, ts.env, ts.key,
+                                           F32(0), greedy=True)
         t = jnp.arange(cfg.episode_len).astype(F32)
         disc = cfg.gamma ** t if cfg.print_discounted else jnp.ones_like(t)
-        rew = jnp.sum(jnp.mean(rs, axis=(1, 2)) * disc)
+        # episode_reward stops at each env's first done (util.py:68-94)
+        d = ds.astype(F32)
+        alive = (jnp.cumsum(d, axis=0) - d) < 1
+        r_env = jnp.mean(rs, axis=2) * alive
+        rew = jnp.sum(jnp.mean(r_env, axis=1) * disc)
         if cfg.print_avg:
             if cfg.gamma == 1:
                 rew = rew / cfg.episode_len
@@ -137,17 +144,18 @@ def make_fns(cfg: Config, benv):
                              / (cfg.gamma - 1))
         return rew, env, jnp.mean(ys.astype(F32))
 
-    return net, run_episode, greedy_episode
+    return net, tx, run_episode, greedy_episode
 
 
 def make_state(cfg: Config):
     topo, cfg, benv = build_env(cfg)
-    net, run_episode, greedy_episode = make_fns(cfg, benv)
+    net, tx, run_episode, greedy_episode = make_fns(cfg, benv)
     key = jax.random.key(cfg.seed)
     k_env, k_net, k_ts = jax.random.split(key, 3)
     env = benv.init(k_env)
-    params = net.init(k_net, jnp.zeros((1, 1, benv.env.obs_dim), F32))
-    tx = optax.adam(cfg.learning_rate)
+    import numpy as np
+    in_dim = int(np.prod(benv.env.observation_space.shape))
+    params = net.init(k_net, jnp.zeros((1, 1, in_dim), F32))
     ts = PGTS(params=params,
               grad_acc=jax.tree.map(jnp.zeros_like, params),
               n_acc=jnp.int32(0), opt_state=tx.init(params), env=env,
@@ -180,8 +188,8 @@ def validate(cfg: Config, ctx: PGCtx, ts: PGTS):
     from .common import validate_telemetry
     th0 = getattr(ts.env, "sim", None) and ts.env.sim.trip_hist
     rew, env_final, onep = ctx.greedy_episode(ts)
-    return float(rew), validate_telemetry(cfg, ctx.benv, env_final, th0,
-                                          float(onep))
+    info = validate_telemetry(cfg, ctx.benv, env_final, th0, float(onep))
+    return float(rew), info, ts.replace(env=env_final)
 
 
 def run(cfg: Config):

@@ -73,7 +73,6 @@ def make_fns(cfg: Config, benv):
     net = QNet(n_actions=I)
     tx = optax.chain(optax.clip_by_global_norm(10.0),
                      optax.adam(cfg.learning_rate))
-    obs_shape = benv.env.observation_space.shape  # (k_hist, obs_dim)
 
     def act(params, obs, eps, key, greedy=False):
         q = net.apply(params, _obs_bf(obs))        # (B, I, 2)
@@ -168,8 +167,12 @@ def make_fns(cfg: Config, benv):
             return (env, obs1, alive & ~done, total, n1), None
 
         B = benv.n_envs
+        # validation runs a FRESH episode (the reference's val() calls
+        # env.reset() through epoch, qlearn.py:142-143) rather than
+        # continuing from mid-training congestion
+        env0, obs0 = benv.reset(ts.env)
         (env, obs, alive, total, n1), _ = jax.lax.scan(
-            body, (ts.env, ts.obs, jnp.ones(B, bool), F32(0),
+            body, (env0, obs0, jnp.ones(B, bool), F32(0),
                    jnp.int32(0)),
             jnp.arange(cfg.episode_len))
         denom = cfg.episode_len * I * B
@@ -235,8 +238,11 @@ def validate(cfg: Config, ctx: QLearnCtx, ts: QLearnTS):
     from .common import validate_telemetry
     th0 = getattr(ts.env, "sim", None) and ts.env.sim.trip_hist
     reward, env_final, onep = ctx.greedy_episode(ts)
-    return float(reward), validate_telemetry(
-        cfg, ctx.benv, env_final, th0, float(onep))
+    info = validate_telemetry(cfg, ctx.benv, env_final, th0, float(onep))
+    # thread the advanced env back: repeated validation episodes then
+    # see fresh spawn-stream state instead of replaying one trajectory
+    return float(reward), info, ts.replace(env=env_final,
+                                           obs=jnp.zeros_like(ts.obs))
 
 
 def run(cfg: Config):

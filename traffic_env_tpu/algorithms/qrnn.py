@@ -58,9 +58,12 @@ class QRnnCtx(NamedTuple):
 def make_fns(cfg: Config, benv):
     I = benv.n_intersections
     B = benv.n_envs
-    obs_dim = benv.env.obs_dim
     net = DuelingQRNN(n_actions=I)
     tx = optax.adam(cfg.learning_rate)
+
+    def flat_bf(obs):
+        """trailing-batch obs (possibly history-stacked) -> (B, features)"""
+        return jnp.moveaxis(obs, -1, 0).reshape(B, -1)
 
     def act(params, obs_bf, carry, eps, key, greedy=False):
         """obs_bf (B, obs_dim) one step; returns actions (B, I)."""
@@ -77,20 +80,20 @@ def make_fns(cfg: Config, benv):
         def body(carry, _):
             env, obs, gru, key = carry
             key, k = jax.random.split(key)
-            a, gru = act(params, jnp.moveaxis(obs, -1, 0), gru, eps,
-                         k, greedy)
+            a, gru = act(params, flat_bf(obs), gru, eps, k, greedy)
             env, obs1, rew, done, _ = benv.step_autoreset_lazy(
                 env, jnp.moveaxis(a, 0, -1))
-            out = (jnp.moveaxis(obs, -1, 0), a,
-                   jnp.moveaxis(rew, -1, 0), done)
+            # GRU carry resets at episode boundaries (the reference
+            # threads state_in per episode, a3c.py:52-63 analogue)
+            gru = jnp.where(done[:, None], 0.0, gru)
+            out = (flat_bf(obs), a, jnp.moveaxis(rew, -1, 0), done)
             return (env, obs1, gru, key), out
 
         gru0 = jnp.zeros((B, net.hidden), F32)
         (env, obs_last, _, key), (s_seq, a_seq, r_seq, d_seq) = \
             jax.lax.scan(body, (env, obs, gru0, key), None,
                          length=cfg.episode_len)
-        return env, key, s_seq, a_seq, r_seq, d_seq, \
-            jnp.moveaxis(obs_last, -1, 0)
+        return env, key, s_seq, a_seq, r_seq, d_seq, flat_bf(obs_last)
 
     def td_train(ts, _):
         key, k1 = jax.random.split(ts.key)
@@ -143,7 +146,7 @@ def make_fns(cfg: Config, benv):
             jnp.full((s_seq.shape[1],), cfg.episode_len, I32))
         ts = ts.replace(env=env, key=key, replay=replay,
                         step=ts.step + cfg.episode_len)
-        ready = ts.replay.episode >= ts.replay.size
+        ready = ts.replay.filled >= ts.replay.size
         n_updates = max(1, cfg.episode_len // cfg.train_rate)
 
         def do_train(ts):
@@ -162,25 +165,30 @@ def make_fns(cfg: Config, benv):
             ts.params_main, ts.env, ts.key, F32(0), greedy=True)
         t = jnp.arange(cfg.episode_len).astype(F32)
         disc = cfg.gamma ** t if cfg.print_discounted else jnp.ones_like(t)
-        rew = jnp.sum(jnp.mean(r_seq, axis=(1, 2)) * disc)
+        # episode_reward stops at each env's first done (util.py:68-94)
+        d = d_seq.astype(F32)                          # (T, B)
+        alive = (jnp.cumsum(d, axis=0) - d) < 1
+        r_env = jnp.mean(r_seq, axis=2) * alive        # (T, B)
+        rew = jnp.sum(jnp.mean(r_env, axis=1) * disc)
         return rew, env, jnp.mean(a_seq.astype(F32))
 
-    return net, run_episode, greedy_episode
+    return net, tx, run_episode, greedy_episode
 
 
 def make_state(cfg: Config):
     topo, cfg, benv = build_env(cfg)
-    net, run_episode, greedy_episode = make_fns(cfg, benv)
+    net, tx, run_episode, greedy_episode = make_fns(cfg, benv)
     key = jax.random.key(cfg.seed)
     k_env, k_net, k_ts = jax.random.split(key, 3)
     env = benv.init(k_env)
-    obs_dim = benv.env.obs_dim
+    import numpy as np
+    obs_dim = int(np.prod(benv.env.observation_space.shape))
     params = net.init(k_net, jnp.zeros((1, 1, obs_dim), F32))
     # episode replay sized in episodes; keep device memory bounded
     n_slots = max(cfg.batch_size, min(cfg.buffer_size, 512))
     ts = QRnnTS(
         params_main=params, params_chooser=params, params_target=params,
-        opt_state=optax.adam(cfg.learning_rate).init(params),
+        opt_state=tx.init(params),
         replay=EpisodeReplay.create(n_slots, cfg.episode_len, obs_dim,
                                     benv.n_intersections,
                                     benv.env.reward_size),
@@ -215,8 +223,10 @@ def validate(cfg: Config, ctx: QRnnCtx, ts: QRnnTS):
     from .common import validate_telemetry
     th0 = getattr(ts.env, "sim", None) and ts.env.sim.trip_hist
     rew, env_final, onep = ctx.greedy_episode(ts)
-    return float(rew), validate_telemetry(cfg, ctx.benv, env_final, th0,
-                                          float(onep))
+    info = validate_telemetry(cfg, ctx.benv, env_final, th0, float(onep))
+    # thread the advanced env back so repeated validation episodes see
+    # fresh spawn-stream state instead of replaying one trajectory
+    return float(rew), info, ts.replace(env=env_final)
 
 
 def run(cfg: Config):

@@ -26,7 +26,10 @@ class TransitionReplay:
     r: jnp.ndarray       # f32[N, reward_size]
     nd: jnp.ndarray      # f32[N]  (1 - done)
     s1: jnp.ndarray      # f32[N, *obs_shape]
-    idx: jnp.ndarray     # i32[] total inserts so far
+    filled: jnp.ndarray  # i32[] inserts, saturating at N (fill gate —
+                         # an unbounded counter overflows int32 after
+                         # ~2^31 inserts and silently disables training)
+    cursor: jnp.ndarray  # i32[] ring write position (wraps mod N)
 
     @classmethod
     def create(cls, size: int, obs_shape, act_dim: int, reward_size: int):
@@ -36,8 +39,15 @@ class TransitionReplay:
             r=jnp.zeros((size, reward_size), jnp.float32),
             nd=jnp.zeros((size,), jnp.float32),
             s1=jnp.zeros((size, *obs_shape), jnp.float32),
-            idx=jnp.int32(0),
+            filled=jnp.int32(0),
+            cursor=jnp.int32(0),
         )
+
+    @property
+    def idx(self):
+        # back-compat alias: the reference gates training on total
+        # inserts reaching buffer_size (qlearn.py:117-122)
+        return self.filled
 
     @property
     def size(self):
@@ -46,14 +56,15 @@ class TransitionReplay:
     def add_batch(self, s, a, r, done, s1):
         """Insert a batch of B transitions at consecutive ring slots."""
         b = s.shape[0]
-        slots = (self.idx + jnp.arange(b)) % self.size
+        slots = (self.cursor + jnp.arange(b)) % self.size
         return self.replace(
             s=self.s.at[slots].set(s),
             a=self.a.at[slots].set(a),
             r=self.r.at[slots].set(r),
             nd=self.nd.at[slots].set(1.0 - done.astype(jnp.float32)),
             s1=self.s1.at[slots].set(s1),
-            idx=self.idx + b,
+            filled=jnp.minimum(self.filled + b, jnp.int32(self.size)),
+            cursor=(self.cursor + b) % jnp.int32(self.size),
         )
 
     def sample(self, key, n: int):
@@ -75,7 +86,8 @@ class EpisodeReplay:
     r: jnp.ndarray       # f32[N, T, reward_size]
     nd: jnp.ndarray      # f32[N, T]
     lens: jnp.ndarray    # i32[N]
-    episode: jnp.ndarray  # i32[] episodes inserted so far
+    filled: jnp.ndarray  # i32[] episodes inserted, saturating at N
+    cursor: jnp.ndarray  # i32[] ring write position (wraps mod N)
 
     @classmethod
     def create(cls, size: int, episode_len: int, obs_dim: int,
@@ -86,7 +98,8 @@ class EpisodeReplay:
             r=jnp.zeros((size, episode_len, reward_size), jnp.float32),
             nd=jnp.zeros((size, episode_len), jnp.float32),
             lens=jnp.zeros((size,), jnp.int32),
-            episode=jnp.int32(0),
+            filled=jnp.int32(0),
+            cursor=jnp.int32(0),
         )
 
     @property
@@ -94,16 +107,29 @@ class EpisodeReplay:
         return self.s.shape[0]
 
     def add_episodes(self, s_seq, a_seq, r_seq, nd_seq, lengths):
-        """Insert B whole episodes (s_seq has T+1 observations)."""
+        """Insert B whole episodes (s_seq has T+1 observations).
+
+        When B exceeds the buffer, a rotating deterministic subset of
+        ``size`` episodes is kept — duplicate ring slots in a single
+        scatter would otherwise keep an implementation-defined winner
+        (nondeterministic, breaking --exact reproducibility)."""
         b = lengths.shape[0]
-        slots = (self.episode + jnp.arange(b)) % self.size
+        n = self.size
+        if b > n:
+            sel = (self.cursor * jnp.int32(13)
+                   + jnp.arange(n)) % jnp.int32(b)
+            s_seq, a_seq = s_seq[sel], a_seq[sel]
+            r_seq, nd_seq, lengths = r_seq[sel], nd_seq[sel], lengths[sel]
+            b = n
+        slots = (self.cursor + jnp.arange(b)) % n
         return self.replace(
             s=self.s.at[slots].set(s_seq),
             a=self.a.at[slots].set(a_seq),
             r=self.r.at[slots].set(r_seq),
             nd=self.nd.at[slots].set(nd_seq),
             lens=self.lens.at[slots].set(lengths),
-            episode=self.episode + b,
+            filled=jnp.minimum(self.filled + b, jnp.int32(n)),
+            cursor=(self.cursor + b) % jnp.int32(n),
         )
 
     def sample_traces(self, key, n_ep: int, n_exp: int):

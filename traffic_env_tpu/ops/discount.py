@@ -14,19 +14,34 @@ import jax
 import jax.numpy as jnp
 
 
-def discount(a, gamma: float, use_avg: bool = False):
+def discount(a, gamma: float, use_avg: bool = False, nd=None):
     """Backward discounted accumulation along axis 0.
 
-    Returns the transformed array (the reference mutates in place)."""
+    Returns the transformed array (the reference mutates in place).
+    ``nd`` (1-done, broadcastable to ``a``) cuts the recurrence at
+    episode boundaries for auto-reset rollouts."""
     gamma = jnp.float32(gamma)
 
-    def back(carry, x):
-        y = x + gamma * carry
-        return y, y
+    if nd is not None:
+        ndx = jnp.broadcast_to(
+            nd.reshape(nd.shape + (1,) * (a.ndim - nd.ndim)),
+            a.shape).astype(jnp.float32)
 
-    last = a[-1]
-    _, rest = jax.lax.scan(back, last, a[:-1], reverse=True)
-    out = jnp.concatenate([rest, last[None]], axis=0)
+        def backm(carry, xs):
+            x, m = xs
+            y = x + gamma * m * carry
+            return y, y
+
+        _, out = jax.lax.scan(backm, jnp.zeros_like(a[-1]),
+                              (a, ndx), reverse=True)
+    else:
+        def back(carry, x):
+            y = x + gamma * carry
+            return y, y
+
+        last = a[-1]
+        _, rest = jax.lax.scan(back, last, a[:-1], reverse=True)
+        out = jnp.concatenate([rest, last[None]], axis=0)
     if use_avg:
         n = a.shape[0]
         # denom_i = 1 + gamma + ... + gamma^(n-1-i), built front-to-back
@@ -42,17 +57,42 @@ def discount(a, gamma: float, use_avg: bool = False):
     return out
 
 
-def gae(rewards, values, bootstrap, gamma: float, lam: float):
+def gae(rewards, values, bootstrap, gamma: float, lam: float, nd=None):
     """Generalized advantage estimation over a time-major rollout.
 
-    deltas = r + gamma*V' - V, discounted by lam*gamma; returns
+    deltas = r + gamma*V'*nd - V, discounted by lam*gamma*nd; returns
     (advantages, discounted_returns) (a3c.py:100-107 intended
-    semantics)."""
+    semantics).  ``nd`` (1-done, time-major, broadcastable to rewards)
+    cuts both the bootstrap and the backward discounting at episode
+    boundaries so auto-reset rollouts don't leak value across
+    terminations; None means no terminations."""
+    gamma = jnp.float32(gamma)
+    lamg = jnp.float32(lam) * gamma
     vals = jnp.concatenate([values, bootstrap[None]], axis=0)
-    deltas = rewards + gamma * vals[1:] - vals[:-1]
-    advantages = discount(deltas, lam * gamma)
-    # drs[-1] = bootstrap, then plain discounting; the first T entries
-    # are the value targets (a3c.py:100-102).
-    drs = jnp.concatenate([rewards, bootstrap[None]], axis=0)
-    returns = discount(drs, gamma)[:-1]
+    if nd is None:
+        deltas = rewards + gamma * vals[1:] - vals[:-1]
+        advantages = discount(deltas, lam * gamma)
+        drs = jnp.concatenate([rewards, bootstrap[None]], axis=0)
+        returns = discount(drs, gamma)[:-1]
+        return advantages, returns
+    ndx = jnp.broadcast_to(
+        nd.reshape(nd.shape + (1,) * (rewards.ndim - nd.ndim)),
+        rewards.shape).astype(jnp.float32)
+    deltas = rewards + gamma * vals[1:] * ndx - vals[:-1]
+
+    def back_adv(carry, xs):
+        d, m = xs
+        y = d + lamg * m * carry
+        return y, y
+
+    _, advantages = jax.lax.scan(back_adv, jnp.zeros_like(bootstrap),
+                                 (deltas, ndx), reverse=True)
+
+    def back_ret(carry, xs):
+        r, m = xs
+        y = r + gamma * m * carry
+        return y, y
+
+    _, returns = jax.lax.scan(back_ret, bootstrap, (rewards, ndx),
+                              reverse=True)
     return advantages, returns
