@@ -10,6 +10,8 @@ or Perfetto::
     python profiler.py                     # timing sweep, 50 episodes
     python profiler.py --trace=/tmp/prof   # also dump a profiler trace
     python profiler.py --core=fast --num_envs=1024
+    python profiler.py --trainer=qlearn    # training throughput
+                                           # (learner in the loop)
 """
 
 import argparse
@@ -33,9 +35,17 @@ def main():
     p.add_argument("--trace", type=str, default="",
                    help="directory for a jax.profiler trace")
     p.add_argument("--platform", type=str, default="")
+    p.add_argument("--trainer", type=str, default="",
+                   help="measure end-to-end training throughput for this "
+                        "learner (act+env+replay+SGD in one jitted "
+                        "episode) instead of random rollouts")
     args = p.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    if args.trainer:
+        profile_training(args)
+        return
 
     topo = GridRoad(3, 3, 250.0)
     cfg = Config(history=1, trainer="random",
@@ -79,6 +89,42 @@ def main():
         "wall_s": round(dt, 3),
         "env_steps_per_sec": round(ticks / dt, 1),
         "episodes_per_sec": round(args.episodes * args.num_envs / dt, 2),
+    }))
+
+
+def profile_training(args):
+    """End-to-end training throughput: one jitted episode = act + env
+    tick + replay insert + SGD, repeated.  Works for any learner
+    exposing ``make_state`` (qlearn, qrnn, a3c, polgrad_rnn)."""
+    import importlib
+
+    import traffic_env_tpu  # noqa: F401
+    from traffic_env_tpu.config import Config
+
+    mod = importlib.import_module(
+        f"traffic_env_tpu.algorithms.{args.trainer}")
+    cfg = Config(trainer=args.trainer, num_envs=args.num_envs).derive()
+    ctx, ts = mod.make_state(cfg)
+
+    def fetch(stats):   # host fetch = real device sync (see bench.py)
+        return float(sum(jnp.sum(x)
+                         for x in jax.tree_util.tree_leaves(stats)))
+
+    ts, stats = ctx.run_episode(ts)   # compile + warm
+    fetch(stats)
+    t0 = time.perf_counter()
+    for _ in range(args.episodes):
+        ts, stats = ctx.run_episode(ts)
+    fetch(stats)
+    dt = time.perf_counter() - t0
+    ticks = args.episodes * cfg.episode_ticks * cfg.num_envs
+    print(json.dumps({
+        "trainer": args.trainer,
+        "episodes": args.episodes,
+        "num_envs": cfg.num_envs,
+        "wall_s": round(dt, 3),
+        "train_env_steps_per_sec": round(ticks / dt, 1),
+        "episodes_per_sec": round(args.episodes * cfg.num_envs / dt, 2),
     }))
 
 
