@@ -58,53 +58,75 @@ def main():
     cfg = derive_spawn_rate(cfg, topo.open_sides(0))
     core = args.core
     if core == "auto":
-        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+        # positive TPU check (matches common.build_env): unknown plugin
+        # platforms fall back to the XLA core, not a Mosaic compile
+        on_tpu = jax.default_backend() == "tpu" or \
+            jax.devices()[0].platform in ("tpu", "axon")
         core = ("pallas" if on_tpu and args.num_envs % 128 == 0
                 else "fast")
-    mesh = None
-    if args.mesh:
-        from traffic_env_tpu.parallel import make_mesh, shard_env_state
-        mesh = make_mesh(str(args.mesh), jax.devices()[:args.mesh])
-    if core == "pallas" and mesh is not None:
-        from traffic_env_tpu.envs.rollout import make_pallas_batched_env
-        benv = make_pallas_batched_env(topo, cfg, args.num_envs, mesh=mesh)
-    else:
-        benv = make_batched_env(topo, cfg, args.num_envs, core=core)
+    def measure(n_envs, mesh=None):
+        """Best-of-repeats env-steps/s for an n_envs batch (optionally
+        sharded over a dp mesh)."""
+        if core == "pallas" and mesh is not None:
+            from traffic_env_tpu.envs.rollout import make_pallas_batched_env
+            benv = make_pallas_batched_env(topo, cfg, n_envs, mesh=mesh)
+        else:
+            benv = make_batched_env(topo, cfg, n_envs, core=core)
+        state = benv.init(jax.random.key(0))
+        state, _ = benv.reset(state)
+        if mesh is not None:
+            from traffic_env_tpu.parallel import shard_env_state
+            state = shard_env_state(mesh, state)
+        roll = jax.jit(lambda st, k, n=args.agent_steps:
+                       random_rollout(benv, st, k, n))
+        warm = jax.jit(lambda st, k, n=args.warmup_steps:
+                       random_rollout(benv, st, k, n))
+        key = jax.random.key(1)
+        # Compile + warm up (also fills roads to steady-state occupancy).
+        state, key, rews, dones = warm(state, key)
+        float(jnp.sum(rews))
+        best = 0.0
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            state, key, rews, dones = roll(state, key)
+            # a real host fetch, not block_until_ready: remote-execution
+            # backends can report readiness before the program has run;
+            # materializing a value that depends on every window can't lie
+            float(jnp.sum(rews) + jnp.sum(dones))
+            dt = time.perf_counter() - t0
+            ticks = args.agent_steps * cfg.light_iterations * n_envs
+            best = max(best, ticks / dt)
+        return best
 
-    state = benv.init(jax.random.key(0))
-    state, _ = benv.reset(state)
-    if mesh is not None:
-        state = shard_env_state(mesh, state)
-
-    roll = jax.jit(lambda st, k, n=args.agent_steps:
-                   random_rollout(benv, st, k, n))
-    warm = jax.jit(lambda st, k, n=args.warmup_steps:
-                   random_rollout(benv, st, k, n))
-
-    key = jax.random.key(1)
-    # Compile + warm up (also fills roads to steady-state occupancy).
-    state, key, rews, dones = warm(state, key)
-    float(jnp.sum(rews))
-
-    best = 0.0
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        state, key, rews, dones = roll(state, key)
-        # a real host fetch, not block_until_ready: remote-execution
-        # backends can report readiness before the program has run;
-        # materializing a value that depends on every window cannot lie
-        float(jnp.sum(rews) + jnp.sum(dones))
-        dt = time.perf_counter() - t0
-        ticks = args.agent_steps * cfg.light_iterations * args.num_envs
-        best = max(best, ticks / dt)
-
-    print(json.dumps({
+    out = {
         "metric": "env_steps_per_sec_per_chip (3x3 grid, "
                   f"{args.num_envs} envs, random policy)",
-        "value": round(best, 1),
         "unit": "env-steps/s/chip",
-        "vs_baseline": round(best / 1e7, 4),
-    }))
+    }
+    if args.mesh > 1:
+        # scaling-efficiency harness (BASELINE.json:5's >=90% target):
+        # weak scaling — the N-device mesh runs N x the single-device
+        # per-device workload; efficiency = thr_N / (N * thr_1)
+        from traffic_env_tpu.parallel import make_mesh
+        mesh = make_mesh(str(args.mesh), jax.devices()[:args.mesh])
+        per_dev = args.num_envs // args.mesh
+        thr_1 = measure(per_dev)
+        thr_n = measure(args.num_envs, mesh=mesh)
+        eff = thr_n / (args.mesh * thr_1)
+        out.update({
+            "metric": f"scaling_efficiency ({args.mesh} devices, "
+                      f"{per_dev} envs/device, random policy)",
+            "value": round(thr_n, 1),
+            "mesh_devices": args.mesh,
+            "single_device_env_steps_per_sec": round(thr_1, 1),
+            "scaling_efficiency": round(eff, 4),
+            "vs_baseline": round(eff / 0.9, 4),
+        })
+    else:
+        best = measure(args.num_envs)
+        out.update({"value": round(best, 1),
+                    "vs_baseline": round(best / 1e7, 4)})
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

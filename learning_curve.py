@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Learning-curve regression on the benchmark workload (BASELINE.md
+configs 4-5): train a learner on the 3x3 grid and compare its greedy
+validation return against the scripted baselines (the reference's
+validation story — "learned policies are validated by beating these",
+/root/reference/README.md:4).
+
+    python learning_curve.py --trainer=qlearn --episodes=400
+    python learning_curve.py --trainer=a3c --conv_gru=true --grid=5
+
+Prints one line per validation point and a final JSON summary
+(baselines + curve + verdict); use --out to also write it to a file.
+"""
+
+import argparse
+import importlib
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+import traffic_env_tpu  # noqa: F401  (sets LIBTPU_INIT_ARGS)
+from traffic_env_tpu.config import Config
+
+
+def baseline_rewards(cfg, names=("random", "fixed", "greedy"), episodes=3):
+    """Mean episode reward of each scripted baseline on this workload."""
+    from traffic_env_tpu.algorithms.baselines import (episode_runner,
+                                                      make_policies)
+    from traffic_env_tpu.algorithms.common import build_env
+    topo, cfg, benv = build_env(cfg)
+    out = {}
+    for name in names:
+        policy = make_policies(cfg, benv, topo)[name]
+        runner = episode_runner(cfg, benv, policy)
+        env = benv.init(jax.random.key(cfg.seed))
+        key = jax.random.key(cfg.seed + 1)
+        totals = []
+        for _ in range(episodes):
+            env, key, total, *_ = runner(env, key)
+            totals.append(float(total))
+        out[name] = sum(totals) / len(totals)
+        print(f"baseline {name}: {out[name]:.4f}")
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--trainer", type=str, default="qlearn")
+    p.add_argument("--episodes", type=int, default=400)
+    p.add_argument("--validate_every", type=int, default=25)
+    p.add_argument("--num_envs", type=int, default=4096)
+    p.add_argument("--grid", type=int, default=3)
+    p.add_argument("--conv_gru", action="store_true")
+    p.add_argument("--mesh_shape", type=str, default="")
+    p.add_argument("--learning_rate", type=float, default=5e-4)
+    p.add_argument("--batch_size", type=int, default=0,
+                   help="0 = per-trainer default")
+    p.add_argument("--annealing", type=float, default=0.0,
+                   help="0 = half the training episodes")
+    p.add_argument("--buffer_size", type=int, default=100000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default="")
+    args = p.parse_args()
+
+    anneal = args.annealing or max(args.episodes // 2, 1)
+    batch = args.batch_size or (30 if args.trainer != "qlearn" else 256)
+    cfg = Config(
+        trainer=args.trainer, grid_m=args.grid, grid_n=args.grid,
+        num_envs=args.num_envs, conv_gru=args.conv_gru,
+        mesh_shape=args.mesh_shape, learning_rate=args.learning_rate,
+        batch_size=batch, buffer_size=args.buffer_size,
+        annealing_episodes=anneal, start_eps=0.8, end_eps=0.05,
+        target_update_rate=30, seed=args.seed,
+        logdir=f"/tmp/curve_{args.trainer}_{args.grid}x{args.grid}",
+    ).derive()
+
+    bl = baseline_rewards(cfg)
+    mod = importlib.import_module(
+        f"traffic_env_tpu.algorithms.{args.trainer}")
+    ctx, ts = mod.make_state(cfg)
+    curve = []
+    v0 = float(ctx.greedy_episode(ts)[0])
+    curve.append([0, v0])
+    print(f"episode 0: greedy {v0:.4f}")
+    t0 = time.time()
+    ep = 0
+    while ep < args.episodes:
+        for _ in range(args.validate_every):
+            ts, _ = ctx.run_episode(ts)
+        ep = int(ts.episode)
+        v = float(ctx.greedy_episode(ts)[0])
+        curve.append([ep, v])
+        print(f"episode {ep}: greedy {v:.4f}  "
+              f"({time.time() - t0:.0f}s)", flush=True)
+    best = max(v for _, v in curve)
+    summary = {
+        "workload": f"{args.grid}x{args.grid} grid, "
+                    f"{args.num_envs} envs, trainer {args.trainer}"
+                    + (" conv_gru" if args.conv_gru else "")
+                    + (f" mesh {args.mesh_shape}" if args.mesh_shape
+                       else ""),
+        "baselines": bl,
+        "curve": curve,
+        "best_greedy": best,
+        "beats_scripted_greedy": best > bl.get("greedy", float("inf")),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -53,7 +53,9 @@ def main():
     cfg = derive_spawn_rate(cfg, topo.open_sides(0))
     core = args.core
     if core == "auto":
-        on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+        # positive TPU check (matches common.build_env)
+        on_tpu = jax.default_backend() == "tpu" or \
+            jax.devices()[0].platform in ("tpu", "axon")
         core = "pallas" if on_tpu and args.num_envs % 128 == 0 else "fast"
 
     benv = make_batched_env(topo, cfg, args.num_envs, core=core)

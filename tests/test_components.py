@@ -4,11 +4,12 @@ config derivations."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from traffic_env_tpu.algorithms.exploration import (anneal, sigmoid_decision,
                                                     sigmoid_greedy,
                                                     softmax_decision)
-from traffic_env_tpu.algorithms.replay import EpisodeReplay, TransitionReplay
+from traffic_env_tpu.algorithms.replay import EpisodeReplay, FrameReplay
 from traffic_env_tpu.config import Config
 from traffic_env_tpu.ops import discount, gae
 from traffic_env_tpu.spaces import GSpace
@@ -49,24 +50,43 @@ def test_gae_shapes_and_bootstrap():
                                (1 - 0.9 ** T) / 0.1, rtol=1e-5)
 
 
-def test_transition_replay_ring():
-    rep = TransitionReplay.create(8, (3,), 2, 1)
-    s = jnp.arange(12, dtype=jnp.float32).reshape(4, 3)
-    a = jnp.zeros((4, 2), jnp.int32)
-    r = jnp.ones((4, 1))
-    d = jnp.zeros(4, bool)
-    rep = rep.add_batch(s, a, r, d, s + 100)
-    assert int(rep.filled) == 4 and int(rep.cursor) == 4
-    rep = rep.add_batch(s + 1, a, r, d, s + 101)
-    rep = rep.add_batch(s + 2, a, r, d, s + 102)  # wraps
-    # fill gate saturates at capacity (int32-overflow-proof); the ring
-    # cursor keeps rotating
-    assert int(rep.filled) == 8 and int(rep.cursor) == 4
-    # the wrap overwrote the oldest slots with the newest batch
-    np.testing.assert_allclose(np.asarray(rep.s[0]), np.asarray(s[0] + 2))
-    ss, aa, rr, nd, ss1 = rep.sample(jax.random.key(0), 16)
-    assert ss.shape == (16, 3) and nd.shape == (16, 1)
-    np.testing.assert_allclose(np.asarray(nd), 1.0)
+def test_frame_replay_reconstruction():
+    """FrameReplay stores one frame row per step; sampled (s, a, r, nd,
+    s1) stacks must equal brute-force reconstruction from the step
+    stream, including across ring wraparound."""
+    from traffic_env_tpu.algorithms.replay import FrameReplay
+    B, k, obs = 4, 3, 2
+    rep = FrameReplay.create(8 * B, B, k, obs, 1, 1)
+    N = rep.size
+    assert N == 8
+    T = 13                                    # wraps the 8-row ring
+    rng = np.random.RandomState(0)
+    frames = rng.randn(T, B, obs).astype(np.float32)
+    acts = rng.randint(5, size=(T, B, 1)).astype(np.int32)
+    rews = rng.randn(T, B, 1).astype(np.float32)
+    dones = rng.rand(T, B) < 0.3
+    for t in range(T):
+        rep = rep.add_step(jnp.asarray(frames[t]), jnp.asarray(acts[t]),
+                           jnp.asarray(rews[t]), jnp.asarray(dones[t]))
+    assert int(rep.filled) == N and int(rep.cursor) == T % N
+    s, a, r, nd, s1 = rep.sample(jax.random.key(1), 64)
+    assert s.shape == (64, k, obs) and nd.shape == (64, 1)
+    # identify each sample by its unique action row and check stacks
+    matched = 0
+    for i in range(64):
+        hits = [(t, e) for t in range(T) for e in range(B)
+                if np.array_equal(acts[t, e], np.asarray(a[i]))]
+        js = [(t, e) for (t, e) in hits
+              if t - k >= T - N and t <= T - 1
+              and np.allclose(frames[t - k:t, e], np.asarray(s[i]))]
+        assert js, f"sample {i} matches no stored transition"
+        t, e = js[0]
+        np.testing.assert_allclose(np.asarray(s1[i]),
+                                   frames[t - k + 1:t + 1, e])
+        np.testing.assert_allclose(np.asarray(r[i]), rews[t, e])
+        assert float(nd[i, 0]) == 1.0 - float(dones[t, e])
+        matched += 1
+    assert matched == 64
 
 
 def test_episode_replay_traces():
@@ -292,3 +312,64 @@ def test_masked_gae_and_discount():
                    nd=nd)
     assert float(out[2, 0]) == 1.0         # cut at the boundary
     assert float(out[0, 0]) == 1 + 0.5 * (1 + 0.5 * 1)
+
+
+def test_exploration_param_boltzmann_temperature():
+    """--exploration=boltzman must anneal the TEMPERATURE schedule
+    (start_temp=500 -> end_temp=1, algorithms/util.py:75-80), not the
+    epsilon schedule."""
+    from traffic_env_tpu.algorithms.exploration import exploration_param
+    cfg = Config(exploration="boltzman").derive()
+    assert float(exploration_param(cfg, jnp.int32(0))) == 500.0
+    assert float(exploration_param(
+        cfg, jnp.int32(int(cfg.annealing_episodes)))) == 1.0
+    assert float(exploration_param(
+        cfg, jnp.int32(10 ** 9))) == 1.0           # floored at end
+    cfg_e = Config(exploration="e_greedy").derive()
+    assert float(exploration_param(cfg_e, jnp.int32(0))) == \
+        pytest.approx(0.8)
+
+
+def test_threads_floor_derivation():
+    """--threads (the reference's a3c worker count, a3c.py:69) lower-
+    bounds the lockstep env batch."""
+    assert Config(threads=64, num_envs=4).derive().num_envs == 64
+    assert Config(threads=4, num_envs=256).derive().num_envs == 256
+
+
+def test_episode_replay_overflow_rotates():
+    """Inserting more episodes than the buffer holds must keep a
+    deterministic subset that ROTATES across inserts (a static subset
+    would starve every env outside it forever)."""
+    rep = EpisodeReplay.create(4, 2, 3, 1, 1)
+    b = 10
+    s = jnp.arange(b * 3 * 3, dtype=jnp.float32).reshape(b, 3, 3)
+    a = jnp.arange(b * 2, dtype=jnp.int32).reshape(b, 2, 1)
+    r = jnp.arange(b * 2, dtype=jnp.float32).reshape(b, 2, 1)
+    nd = jnp.ones((b, 2))
+    lens = jnp.full((b,), 2, jnp.int32)
+    out1 = rep.add_episodes(s, a, r, nd, lens)
+    out1b = rep.add_episodes(s, a, r, nd, lens)
+    np.testing.assert_array_equal(np.asarray(out1.s), np.asarray(out1b.s))
+    assert int(out1.filled) == 4 and int(out1.cursor) == b % 4
+    out2 = out1.add_episodes(s, a, r, nd, lens)
+    assert not np.array_equal(np.asarray(out2.s), np.asarray(out1.s))
+
+
+def test_discount_avg_masked_denominator():
+    """In avg mode with episode-boundary masks the per-step average
+    must divide by the TRUNCATED horizon: constant unit rewards give
+    exactly 1.0 at every step regardless of where nd cuts."""
+    from traffic_env_tpu.ops import discount
+    T = 12
+    r = jnp.ones((T, 2), jnp.float32)
+    nd = jnp.ones((T, 2), jnp.float32)
+    nd = nd.at[4, 0].set(0.0).at[8, 1].set(0.0)
+    out = discount(r, 0.9, use_avg=True, nd=nd)
+    np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-6)
+    # unmasked avg mode keeps the reference's front-to-back loop
+    out2 = discount(r, 0.9, use_avg=True)
+    denom = np.array([(1 - 0.9 ** (T - i)) / (1 - 0.9)
+                      for i in range(T)], np.float32)
+    ref = np.asarray(discount(r, 0.9)) / denom[:, None]
+    np.testing.assert_allclose(np.asarray(out2), ref, rtol=1e-5)

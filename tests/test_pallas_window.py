@@ -203,3 +203,41 @@ def test_inkernel_autoreset_matches_external_reset():
             sel = lambda f, o: jnp.where(sb.done, f, o)
             sb = jax.tree.map(sel, fresh, sb)
     assert n_resets >= 1
+
+
+def test_pallas_validate_trip_hist_matches_fast():
+    """Validate-mode telemetry through the Pallas path: the kernel's
+    exit-pop event stream, scattered into the trip histogram outside
+    the kernel, must reproduce the fast core's in-XLA trip_hist (and
+    the per-step light_times must match)."""
+    from traffic_env_tpu.envs.rollout import make_batched_env
+    topo, cfg = setup(mode="validate")
+    steps = 14
+    seeds = list(range(8))
+    n_win = steps + cfg.history + 4
+    sched = jax.tree.map(jnp.asarray, build_batched_schedule(
+        topo, cfg, seeds, n_win * cfg.light_iterations, 8))
+    kw = dict(on_device_spawns=False)
+    fast = make_batched_env(topo, cfg, B, core="fast", **kw)
+    pal = make_batched_env(topo, cfg, B, core="pallas", block_envs=B,
+                           interpret=True, **kw)
+    sf = fast.init(jax.random.key(5))
+    sp = jax.tree.map(lambda a: a, sf)
+    assert sf.sim.trip_hist is not None
+    sf, _ = fast.reset(sf, sched)
+    sp, _ = pal.reset(sp, sched)
+    rng = np.random.RandomState(3)
+    f_step = jax.jit(lambda s, a: fast.step(s, a, sched))
+    p_step = jax.jit(lambda s, a: pal.step(s, a, sched))
+    for t in range(steps):
+        a = jnp.asarray(rng.randint(2, size=(9, B)).astype(np.int32))
+        sf, of, rf, df, inf_f = f_step(sf, a)
+        sp, op, rp, dp, inf_p = p_step(sp, a)
+        np.testing.assert_array_equal(np.asarray(of), np.asarray(op))
+        np.testing.assert_array_equal(
+            np.asarray(inf_f["light_times"]),
+            np.asarray(inf_p["light_times"]), err_msg=f"lt step {t}")
+        np.testing.assert_array_equal(
+            np.asarray(sf.sim.trip_hist), np.asarray(sp.sim.trip_hist),
+            err_msg=f"trip_hist step {t}")
+    assert int(np.asarray(sf.sim.trip_hist).sum()) > 0

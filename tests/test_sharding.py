@@ -109,3 +109,52 @@ def test_pallas_env_under_mesh():
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+@needs_multi
+@pytest.mark.parametrize("trainer", ["qlearn", "a3c"])
+def test_cli_mesh_training_matches_unsharded(trainer, tmp_path):
+    """--mesh_shape=8 through the production path (build_env mesh ->
+    shard_train_state) must train the same program as a single device:
+    episode stats and post-episode parameters agree up to partitioned
+    reduction order."""
+    import importlib
+    mod = importlib.import_module(f"traffic_env_tpu.algorithms.{trainer}")
+    base = dict(trainer=trainer, grid_m=1, grid_n=2, road_length=60.0,
+                num_envs=16, episode_secs=40, light_secs=5,
+                buffer_size=32, batch_size=8, seed=0,
+                logdir=str(tmp_path / trainer))
+    ctx1, ts1 = mod.make_state(Config(**base).derive())
+    ts1, stats1 = ctx1.run_episode(ts1)
+    ctx2, ts2 = mod.make_state(Config(mesh_shape="8", **base).derive())
+    assert ctx2.benv.mesh is not None
+    ts2, stats2 = ctx2.run_episode(ts2)
+    s1 = jax.tree_util.tree_leaves(stats1)
+    s2 = jax.tree_util.tree_leaves(stats2)
+    for a, b in zip(s1, s2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+    p1 = getattr(ts1, "params_main", None) or ts1.params
+    p2 = getattr(ts2, "params_main", None) or ts2.params
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
+
+
+@needs_multi
+def test_cli_mesh_qrnn_and_pg_train(tmp_path):
+    """qrnn + polgrad_rnn also train over the CLI-built mesh."""
+    import importlib
+    for trainer in ("qrnn", "polgrad_rnn"):
+        mod = importlib.import_module(
+            f"traffic_env_tpu.algorithms.{trainer}")
+        cfg = Config(trainer=trainer, mesh_shape="8", grid_m=1, grid_n=2,
+                     road_length=60.0, num_envs=16, episode_secs=20,
+                     light_secs=5, buffer_size=16, batch_size=4, seed=0,
+                     logdir=str(tmp_path / trainer)).derive()
+        ctx, ts = mod.make_state(cfg)
+        assert ctx.benv.mesh is not None
+        ts, stats = ctx.run_episode(ts)
+        assert np.isfinite(
+            float(jnp.mean(jax.tree_util.tree_leaves(stats)[0])))

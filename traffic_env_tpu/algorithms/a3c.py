@@ -18,9 +18,10 @@ policy - 0.001*entropy with global-norm-40 clip (a3c.py:32-40), and the
 known reference defects (undefined ``step``, mis-called ``discount``,
 truncated if at a3c.py:86-89) replaced by the intended semantics per
 SURVEY.md §2.3.  GAE and the GRU carry are cut at auto-reset episode
-boundaries; the loss replays the window's GRU from the window-start
-carry without mid-window resets (a small approximation affecting only
-the rare post-overflow steps inside one 30-step window).  ``--conv_gru`` swaps in the grid-shaped ConvGRU policy
+boundaries, and the loss replays the window with the SAME done-masked
+carries the rollout used (exact — tests/test_algorithms.py asserts
+rollout-vs-loss hidden-state agreement across mid-window resets).
+``--conv_gru`` swaps in the grid-shaped ConvGRU policy
 (the reference shipped its ConvGRUCell unused; config 5 of BASELINE.md
 names it).
 """
@@ -63,6 +64,7 @@ class A3CCtx(NamedTuple):
     run_episode: Any
     greedy_episode: Any
     cfg: Config
+    loss_fn: Any = None    # exposed for the exact-replay test
 
 
 def make_fns(cfg: Config, benv, topo):
@@ -109,17 +111,26 @@ def make_fns(cfg: Config, benv, topo):
             body, (env, obs, carry, key), None, length=cfg.batch_size)
         return env, obs, carry, key, seq
 
-    def loss_fn(params, obs_seq, act_seq, adv, returns, carry0):
-        T = obs_seq.shape[0]
-        obs_bt = jnp.moveaxis(obs_seq, 0, 1)          # (B, T, obs)
-        scores, values, _ = net.apply(params, obs_bt, carry0)
-        act_bt = jnp.moveaxis(act_seq, 0, 1)
-        ce = optax.sigmoid_binary_cross_entropy(scores, act_bt)
-        adv_bt = jnp.moveaxis(adv, 0, 1)
-        policy_loss = jnp.mean(jnp.sum(adv_bt * ce, axis=-1))
-        ret_bt = jnp.moveaxis(returns, 0, 1)
+    def loss_fn(params, obs_seq, act_seq, adv, returns, done_seq,
+                carry0):
+        # EXACT window replay: the GRU carry is re-zeroed at the same
+        # auto-reset boundaries the rollout saw (done at step t cuts
+        # the carry feeding step t+1), so loss-side hidden states match
+        # the rollout's bit-for-bit — no post-overflow approximation.
+        def step(carry, xs):
+            obs_t, done_t = xs
+            scores_t, value_t, carry = forward(params, obs_t, carry)
+            carry = jnp.where(
+                done_t.reshape((-1,) + (1,) * (carry.ndim - 1)),
+                0.0, carry)
+            return carry, (scores_t, value_t)
+
+        _, (scores, values) = jax.lax.scan(
+            step, carry0, (obs_seq, done_seq))     # (T, B, ...)
+        ce = optax.sigmoid_binary_cross_entropy(scores, act_seq)
+        policy_loss = jnp.mean(jnp.sum(adv * ce, axis=-1))
         value_loss = 0.5 * jnp.mean(jnp.sum(
-            jnp.square(ret_bt - values), axis=-1))
+            jnp.square(returns - values), axis=-1))
         from .exploration import entropy as _entropy
         ent = _entropy(jax.nn.sigmoid(scores))
         loss = 0.5 * value_loss + policy_loss - 0.001 * ent
@@ -143,7 +154,7 @@ def make_fns(cfg: Config, benv, topo):
         adv = jax.lax.stop_gradient(adv)
         returns = jax.lax.stop_gradient(returns)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            ts.params, obs_seq, act_seq, adv, returns, carry0)
+            ts.params, obs_seq, act_seq, adv, returns, done_seq, carry0)
         updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
         ts = ts.replace(params=params, opt_state=opt_state, env=env,
@@ -162,6 +173,8 @@ def make_fns(cfg: Config, benv, topo):
                         gru=jnp.zeros_like(ts.gru))
         return ts, jax.tree.map(jnp.mean, outs)
 
+    validate_mode = cfg.mode == "validate"
+
     @jax.jit
     def greedy_episode(ts: A3CTS):
         env, obs = benv.reset(ts.env)
@@ -170,29 +183,30 @@ def make_fns(cfg: Config, benv, topo):
             env, obs, carry, alive, total, n1 = c
             scores, _, carry = forward(ts.params, flat_bf(obs), carry)
             a = sigmoid_greedy(scores)
-            env, obs1, rew, done, _ = benv.step_autoreset_lazy(
+            env, obs1, rew, done, info = benv.step_autoreset_lazy(
                 env, jnp.moveaxis(a, 0, -1))
             disc = cfg.gamma ** t.astype(F32) if cfg.print_discounted else 1.0
             # episode_reward stops at each env's first done
             step_r = jnp.mean(rew, axis=0) * alive.astype(F32)
+            ys = info["light_times"] if validate_mode else None
             return (env, obs1, carry, alive & ~done,
                     total + jnp.mean(step_r) * disc,
-                    n1 + jnp.sum(a)), None
+                    n1 + jnp.sum(a)), ys
 
-        (env, obs, _, alive, total, n1), _ = jax.lax.scan(
+        (env, obs, _, alive, total, n1), lt = jax.lax.scan(
             body, (env, obs, jnp.zeros_like(ts.gru),
                    jnp.ones(B, bool), F32(0), jnp.int32(0)),
             jnp.arange(cfg.episode_len))
         denom = cfg.episode_len * benv.n_intersections * benv.n_envs
-        return total, env, n1.astype(F32) / denom
+        return total, env, n1.astype(F32) / denom, lt
 
-    return net, tx, run_window, run_episode, greedy_episode, gru0
+    return net, tx, run_window, run_episode, greedy_episode, gru0, loss_fn
 
 
 def make_state(cfg: Config):
     topo, cfg, benv = build_env(cfg)
-    net, tx, run_window, run_episode, greedy_episode, gru0 = make_fns(
-        cfg, benv, topo)
+    net, tx, run_window, run_episode, greedy_episode, gru0, loss_fn = \
+        make_fns(cfg, benv, topo)
     key = jax.random.key(cfg.seed)
     k_env, k_net, k_ts = jax.random.split(key, 3)
     env = benv.init(k_env)
@@ -203,9 +217,12 @@ def make_state(cfg: Config):
     ts = A3CTS(params=params, opt_state=tx.init(params), env=env, obs=obs,
                gru=gru0(), step=jnp.int32(0), episode=jnp.int32(0),
                key=k_ts)
+    if getattr(benv, "mesh", None) is not None:
+        from ..parallel import shard_train_state
+        ts = shard_train_state(benv.mesh, ts)
     return A3CCtx(benv=benv, net=net, run_window=run_window,
                   run_episode=run_episode, greedy_episode=greedy_episode,
-                  cfg=cfg), ts
+                  cfg=cfg, loss_fn=loss_fn), ts
 
 
 def train(cfg: Config, ctx: A3CCtx, ts: A3CTS, writer, ckpt):
@@ -234,10 +251,27 @@ def train(cfg: Config, ctx: A3CCtx, ts: A3CTS, writer, ckpt):
 def validate(cfg: Config, ctx: A3CCtx, ts: A3CTS):
     from .common import validate_telemetry
     th0 = getattr(ts.env, "sim", None) and ts.env.sim.trip_hist
-    rew, env_final, onep = ctx.greedy_episode(ts)
-    info = validate_telemetry(cfg, ctx.benv, env_final, th0, float(onep))
+    rew, env_final, onep, lt = ctx.greedy_episode(ts)
+    info = validate_telemetry(cfg, ctx.benv, env_final, th0, float(onep),
+                              light_times=lt)
     return float(rew), info, ts.replace(env=env_final)
 
 
+def policy_step(ctx: A3CCtx, ts: A3CTS):
+    """Host-steppable greedy policy for --render."""
+    B = ctx.benv.n_envs
+
+    @jax.jit
+    def step(obs, carry):
+        if carry is None:
+            carry = jnp.zeros_like(ts.gru)
+        obs_bf = jnp.moveaxis(obs, -1, 0).reshape(B, -1)
+        scores, _, carry = ctx.net.apply(ts.params, obs_bf[:, None, :],
+                                         carry)
+        a = sigmoid_greedy(scores[:, 0])
+        return jnp.moveaxis(a, 0, -1), carry
+    return step
+
+
 def run(cfg: Config):
-    return handle_modes(cfg, make_state, train, validate)
+    return handle_modes(cfg, make_state, train, validate, policy_step)

@@ -116,6 +116,9 @@ def run(cfg: Config, trainer: str | None = None):
     runner = episode_runner(cfg, benv, policy)
     state = {"env": benv.init(jax.random.key(cfg.seed)),
              "key": jax.random.key(cfg.seed + 1)}
+    if benv.mesh is not None:
+        from ..parallel import shard_env_state
+        state["env"] = shard_env_state(benv.mesh, state["env"])
 
     if cfg.render:
         # host-side rendering (reference traffic_env.py:285-359 via the

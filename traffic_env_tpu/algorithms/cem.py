@@ -89,6 +89,9 @@ def run(cfg: Config):
     n_elite = int(round(SAMPLE_SIZE * ELITE_FRAC))
     rng = np.random.RandomState(cfg.seed)
     env = benv.init(jax.random.key(cfg.seed))
+    if benv.mesh is not None:
+        from ..parallel import shard_env_state
+        env = shard_env_state(benv.mesh, env)
     key = jax.random.key(cfg.seed + 1)
     means = []
     try:

@@ -42,14 +42,29 @@ def build_env(cfg: Config, n_envs: int | None = None,
     topo.set_entry_mask(spec)
     cfg = derive_spawn_rate(cfg, topo.open_sides(spec))
     n = n_envs or cfg.num_envs
+    mesh = None
+    if cfg.mesh_shape:
+        # --mesh_shape=N or "dp,mp": the device mesh every learner
+        # trains over — env batch + replay sharded on dp, gradients
+        # all-reduced by the partitioner (the reference's 4-thread
+        # Hogwild store, a3c.py:66-97, becomes mesh collectives)
+        from ..parallel import make_mesh
+        mesh = make_mesh(cfg.mesh_shape)
+        n_dp = mesh.shape["dp"]
+        if n % n_dp:
+            raise ValueError(
+                f"--num_envs={n} must divide over the dp axis "
+                f"({n_dp} devices)")
+    n_dp = mesh.shape["dp"] if mesh is not None else 1
     if core == "auto":
         # positive TPU check: unknown plugin platforms fall back to the
         # XLA core instead of attempting a Mosaic compile
         on_tpu = jax.default_backend() == "tpu" or \
             jax.devices()[0].platform in ("tpu", "axon")
-        core = ("pallas" if on_tpu and n % 128 == 0
-                and not cfg.mesh_shape
-                and cfg.mode != "validate"
+        # validate mode is kernel-capable: light_times come from the
+        # pre-window phase/elapsed and trip histograms from the
+        # kernel's exit-pop event stream (ops/pallas_window.py)
+        core = ("pallas" if on_tpu and (n // n_dp) % 128 == 0
                 and not cfg.exact else "fast")
     if cfg.exact:
         # bit-exact parity mode: host-precomputed MT19937 arrival
@@ -72,20 +87,25 @@ def build_env(cfg: Config, n_envs: int | None = None,
         benv = make_batched_env(topo, cfg, n, core=core,
                                 on_device_spawns=False)
         benv = bind_schedule(benv, sched)
+    elif core == "pallas" and mesh is not None:
+        from ..envs.rollout import make_pallas_batched_env
+        benv = make_pallas_batched_env(topo, cfg, n, mesh=mesh)
     else:
         benv = make_batched_env(topo, cfg, n, core=core)
-    return topo, cfg, benv
+    return topo, cfg, benv._replace(mesh=mesh)
 
 
 def handle_modes(cfg: Config, make_state: Callable, train: Callable,
-                 validate: Callable):
+                 validate: Callable, policy_step: Callable | None = None):
     """Lifecycle dispatch (algorithms/util.py:27-61).
 
     ``make_state(cfg) -> (ctx, state)`` builds the learner context
     (env, nets, jitted fns) and initial train state;
     ``train(cfg, ctx, state, writer, ckpt)`` runs the train loop;
     ``validate(cfg, ctx, state) -> (reward, info)`` runs one greedy
-    validation episode.
+    validation episode; ``policy_step(ctx, state)`` (optional) returns
+    a host-steppable greedy policy ``obs, carry -> (action, carry)``
+    used by --render to draw the learned policy's episode.
     """
     if cfg.restore:
         # The reference reloads settings.json into the flag *defaults*
@@ -112,6 +132,8 @@ def handle_modes(cfg: Config, make_state: Callable, train: Callable,
         if cfg.mode == "validate":
             state = _ensure_trip_hist(cfg, state)
     if cfg.mode == "validate":
+        if cfg.render and policy_step is not None:
+            render_greedy(cfg, ctx, state, policy_step)
         box = [state]
 
         def _one():
@@ -137,6 +159,31 @@ def handle_modes(cfg: Config, make_state: Callable, train: Callable,
         return train(cfg, ctx, state, writer, ckpt)
     finally:
         writer.close()
+
+
+def render_greedy(cfg: Config, ctx, state, policy_step: Callable):
+    """--render for learner trainers (reference renders any trainer in
+    validate mode via the patched step, gym_traffic/__init__.py:6-8,
+    traffic_env.py:285-359): step one greedy episode from the host,
+    writing a frame per agent step for env lane 0."""
+    benv = ctx.benv
+    if getattr(benv.env, "sim_fns", None) is None:
+        return     # CartPole fixture has nothing to draw
+    import jax.numpy as jnp
+    from ..render import EpisodeRenderer
+    topo = GridRoad(cfg.grid_m, cfg.grid_n, cfg.road_length)
+    rend = EpisodeRenderer(topo, os.path.join(cfg.logdir, "render"))
+    step_pi = policy_step(ctx, state)
+    env, obs = jax.jit(benv.reset)(state.env)
+    step_j = jax.jit(benv.step_autoreset_lazy)
+    carry = None
+    for _ in range(cfg.episode_len):
+        a, carry = step_pi(obs, carry)
+        env, obs, _, _, _ = step_j(env, a)
+        rend.add(env.sim)
+    gif = rend.finish()
+    print(f"rendered {len(rend.frames)} frames to {rend.outdir}"
+          + (f" ({gif})" if gif else ""))
 
 
 def validation_hook(cfg: Config, ckpt: Checkpointer, writer: MetricWriter,
@@ -167,13 +214,12 @@ def _ensure_trip_hist(cfg: Config, state):
 
 
 def validate_telemetry(cfg: Config, benv, env_after, trip_hist_before,
-                       ones_fraction: float):
+                       ones_fraction: float, light_times=None):
     """Assemble the validate-mode info dict the stats loop consumes
-    (util.py:68-94): action fractions, trip-time drain from the
-    on-device histogram delta, unfinished-car count.  None outside
-    validate mode or for envs without a simulator (CartPole fixture).
-    Per-step light_times need in-loop collection and are currently
-    drained only by the baselines runner."""
+    (util.py:68-94): action fractions, per-step light times collected
+    inside the greedy rollout scan, trip-time drain from the on-device
+    histogram delta, unfinished-car count.  None outside validate mode
+    or for envs without a simulator (CartPole fixture)."""
     if cfg.mode != "validate" or getattr(benv.env, "sim_fns", None) is None:
         return None
     import jax.numpy as jnp
@@ -184,9 +230,15 @@ def validate_telemetry(cfg: Config, benv, env_after, trip_hist_before,
         counts = counts.sum(axis=tuple(range(1, counts.ndim)))
         trip_times = np.repeat(
             np.arange(len(counts)) * cfg.rate, counts).tolist()
+    lt_list: list = []
+    if light_times is not None:
+        # the Repeater emits a light time only when the phase changed
+        # (traffic_test.py:41-47); zeros mean "no switch this window"
+        lt = np.asarray(light_times)
+        lt_list = lt[lt != 0].tolist()
     unfinished = float(jnp.sum(jax.vmap(
         benv.env.sim_fns.cars_per_road, in_axes=-1,
         out_axes=-1)(sim)) / benv.n_envs)
     return {"onep": ones_fraction, "zerop": 1.0 - ones_fraction,
-            "light_times": [], "trip_times": trip_times,
+            "light_times": lt_list, "trip_times": trip_times,
             "unfinished": unfinished}

@@ -25,6 +25,19 @@ def anneal(start: float, end: float, annealing_episodes: float, episode):
     return jnp.maximum(end, start - step * episode.astype(jnp.float32))
 
 
+def exploration_param(cfg, episode):
+    """The annealed exploration knob (algorithms/util.py:75-80): the
+    epsilon schedule for e_greedy/proportional, the TEMPERATURE
+    schedule (start_temp=500 -> end_temp=1) for boltzman.  The two
+    schedules differ by ~3 orders of magnitude at episode 0; feeding
+    eps to the softmax divisor is not a substitute."""
+    if cfg.exploration == "boltzman":
+        return anneal(cfg.start_temp, cfg.end_temp,
+                      cfg.annealing_episodes, episode)
+    return anneal(cfg.start_eps, cfg.end_eps, cfg.annealing_episodes,
+                  episode)
+
+
 def greedy_from_scores(scores):
     """argmax over the trailing action axis (util.py:86)."""
     return jnp.argmax(scores, axis=-1).astype(jnp.int32)

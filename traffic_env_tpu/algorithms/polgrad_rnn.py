@@ -60,6 +60,8 @@ def make_fns(cfg: Config, benv):
     net = PolGradNet(n_actions=I)
     tx = optax.adam(cfg.learning_rate)
 
+    validate_mode = cfg.mode == "validate"
+
     def collect(params, env, key, eps, greedy=False):
         env, obs = benv.reset(env)
 
@@ -71,17 +73,19 @@ def make_fns(cfg: Config, benv):
             scores = scores[:, 0]
             a = sigmoid_greedy(scores) if greedy else \
                 sigmoid_decision(k, scores, eps, cfg.exploration)
-            env, obs1, rew, done, _ = benv.step_autoreset_lazy(
+            env, obs1, rew, done, info = benv.step_autoreset_lazy(
                 env, jnp.moveaxis(a, 0, -1))
             # GRU carry resets at auto-reset boundaries
             gru = jnp.where(done[:, None], 0.0, gru)
+            ysd = info["light_times"] if validate_mode else None
             return (env, obs1, gru, key), \
-                (obs_bf, a.astype(F32), jnp.moveaxis(rew, -1, 0), done)
+                (obs_bf, a.astype(F32), jnp.moveaxis(rew, -1, 0), done,
+                 ysd)
 
         gru0 = jnp.zeros((B, net.hidden), F32)
-        (env, _, _, key), (xs, ys, rs, ds) = jax.lax.scan(
+        (env, _, _, key), (xs, ys, rs, ds, lt) = jax.lax.scan(
             body, (env, obs, gru0, key), None, length=cfg.episode_len)
-        return env, key, xs, ys, rs, ds
+        return env, key, xs, ys, rs, ds, lt
 
     def loss_fn(params, xs, ys, epr):
         # xs (T, B, obs) -> (B, T, obs)
@@ -95,7 +99,7 @@ def make_fns(cfg: Config, benv):
         eps = anneal(cfg.start_eps, cfg.end_eps, cfg.annealing_episodes,
                      ts.episode)
         key, k = jax.random.split(ts.key)
-        env, key2, xs, ys, rs, ds = collect(ts.params, ts.env, k, eps)
+        env, key2, xs, ys, rs, ds, _ = collect(ts.params, ts.env, k, eps)
         # per-intersection reward columns (polgrad feeds the reward
         # vector per action head, polgrad_rnn.py:19,28-31)
         epr = discount(rs, cfg.gamma, cfg.use_avg,
@@ -127,8 +131,8 @@ def make_fns(cfg: Config, benv):
 
     @jax.jit
     def greedy_episode(ts: PGTS):
-        env, key, xs, ys, rs, ds = collect(ts.params, ts.env, ts.key,
-                                           F32(0), greedy=True)
+        env, key, xs, ys, rs, ds, lt = collect(ts.params, ts.env, ts.key,
+                                               F32(0), greedy=True)
         t = jnp.arange(cfg.episode_len).astype(F32)
         disc = cfg.gamma ** t if cfg.print_discounted else jnp.ones_like(t)
         # episode_reward stops at each env's first done (util.py:68-94)
@@ -142,7 +146,7 @@ def make_fns(cfg: Config, benv):
             else:
                 rew = rew / ((cfg.gamma ** cfg.episode_len - 1)
                              / (cfg.gamma - 1))
-        return rew, env, jnp.mean(ys.astype(F32))
+        return rew, env, jnp.mean(ys.astype(F32)), lt
 
     return net, tx, run_episode, greedy_episode
 
@@ -160,6 +164,9 @@ def make_state(cfg: Config):
               grad_acc=jax.tree.map(jnp.zeros_like, params),
               n_acc=jnp.int32(0), opt_state=tx.init(params), env=env,
               step=jnp.int32(0), episode=jnp.int32(0), key=k_ts)
+    if getattr(benv, "mesh", None) is not None:
+        from ..parallel import shard_train_state
+        ts = shard_train_state(benv.mesh, ts)
     return PGCtx(benv=benv, net=net, run_episode=run_episode,
                  greedy_episode=greedy_episode, cfg=cfg), ts
 
@@ -187,10 +194,27 @@ def train(cfg: Config, ctx: PGCtx, ts: PGTS, writer, ckpt):
 def validate(cfg: Config, ctx: PGCtx, ts: PGTS):
     from .common import validate_telemetry
     th0 = getattr(ts.env, "sim", None) and ts.env.sim.trip_hist
-    rew, env_final, onep = ctx.greedy_episode(ts)
-    info = validate_telemetry(cfg, ctx.benv, env_final, th0, float(onep))
+    rew, env_final, onep, lt = ctx.greedy_episode(ts)
+    info = validate_telemetry(cfg, ctx.benv, env_final, th0, float(onep),
+                              light_times=lt)
     return float(rew), info, ts.replace(env=env_final)
 
 
+def policy_step(ctx: PGCtx, ts: PGTS):
+    """Host-steppable greedy policy for --render."""
+    B = ctx.benv.n_envs
+
+    @jax.jit
+    def step(obs, carry):
+        if carry is None:
+            carry = jnp.zeros((B, ctx.net.hidden), F32)
+        obs_bf = jnp.moveaxis(obs, -1, 0).reshape(B, -1)
+        scores, carry = ctx.net.apply(ts.params, obs_bf[:, None, :],
+                                      carry)
+        a = sigmoid_greedy(scores[:, 0])
+        return jnp.moveaxis(a, 0, -1), carry
+    return step
+
+
 def run(cfg: Config):
-    return handle_modes(cfg, make_state, train, validate)
+    return handle_modes(cfg, make_state, train, validate, policy_step)

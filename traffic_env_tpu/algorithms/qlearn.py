@@ -2,7 +2,9 @@
 
 Semantics ported: feed-forward residual Q net over a 20-frame history
 stack (qlearn.py:6-20), graph-resident uniform-replay ring
-(qlearn.py:22-50 -> TransitionReplay), three net copies main / chooser /
+(qlearn.py:22-50 -> FrameReplay, which stores each frame once and
+reconstructs the (s, s') stacks at sample time — ~40x less replay
+write bandwidth than materializing stacks), three net copies main / chooser /
 target with chooser synced every train step and target every
 ``target_update_rate`` (qlearn.py:62-70, 124-126), double-DQN target
 ``r - rho + gamma * nd * Q_target(s', argmax Q_chooser(s'))``
@@ -30,8 +32,8 @@ from flax import struct
 from ..config import Config
 from ..models import QNet
 from .common import build_env, handle_modes, validation_hook
-from .exploration import anneal, softmax_decision
-from .replay import TransitionReplay
+from .exploration import exploration_param, softmax_decision
+from .replay import FrameReplay
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -43,7 +45,7 @@ class QLearnTS:
     params_chooser: Any
     params_target: Any
     opt_state: Any
-    replay: TransitionReplay
+    replay: FrameReplay
     env: Any                # batched EnvState
     obs: jnp.ndarray        # f32[*obs_shape, B] current observation
     step: jnp.ndarray       # i32[] global agent steps
@@ -70,12 +72,30 @@ def _obs_bf(obs):
 def make_fns(cfg: Config, benv):
     I = benv.n_intersections
     B = benv.n_envs
-    net = QNet(n_actions=I)
+    if cfg.single_agent:
+        # --single_agent (UnGSpaceWrapper, wrappers/gspace.py:23-34,
+        # traffic_test.py:90): the learner sees ONE head over the
+        # flattened 2^I-way action space; its integer choice decodes
+        # to the env's I binary phases, and the reward collapses to
+        # the mean (UnGSpace's np.mean(reward))
+        from ..envs.extra_wrappers import ungspace_actions
+        _, _decode, _ = ungspace_actions(I)
+        heads, choices = 1, 2 ** I
+        env_action = jax.vmap(_decode)     # (B, 1) -> (B, I)
+        learn_reward = lambda r_bf: jnp.mean(r_bf, axis=-1,
+                                             keepdims=True)
+        reward_size = 1
+    else:
+        heads, choices = I, 2
+        env_action = lambda a: a
+        learn_reward = lambda r_bf: r_bf
+        reward_size = benv.env.reward_size
+    net = QNet(n_actions=heads, n_choices=choices)
     tx = optax.chain(optax.clip_by_global_norm(10.0),
                      optax.adam(cfg.learning_rate))
 
     def act(params, obs, eps, key, greedy=False):
-        q = net.apply(params, _obs_bf(obs))        # (B, I, 2)
+        q = net.apply(params, _obs_bf(obs))        # (B, heads, choices)
         if greedy:
             return jnp.argmax(q, axis=-1).astype(I32), q
         return softmax_decision(key, q, eps, cfg.exploration), q
@@ -120,14 +140,16 @@ def make_fns(cfg: Config, benv):
 
     def agent_step(ts: QLearnTS, _):
         key, k_act, k_train = jax.random.split(ts.key, 3)
-        eps = anneal(cfg.start_eps, cfg.end_eps, cfg.annealing_episodes,
-                     ts.episode)
-        a, _ = act(ts.params_main, ts.obs, eps, k_act)   # (B, I)
+        eps = exploration_param(cfg, ts.episode)
+        a, _ = act(ts.params_main, ts.obs, eps, k_act)   # (B, heads)
         env, obs1, rew, done, _ = benv.step_autoreset_lazy(
-            ts.env, jnp.moveaxis(a, 0, -1))
-        replay = ts.replay.add_batch(
-            _obs_bf(ts.obs), a, jnp.moveaxis(rew, -1, 0),
-            done, _obs_bf(obs1))
+            ts.env, jnp.moveaxis(env_action(a), 0, -1))
+        # one frame row per step: the stack the actor saw is
+        # reconstructed at sample time (FrameReplay docstring)
+        newest = obs1[-1] if obs1.ndim == 3 else obs1     # (obs, B)
+        replay = ts.replay.add_step(
+            jnp.moveaxis(newest, -1, 0), a,
+            learn_reward(jnp.moveaxis(rew, -1, 0)), done)
         ts = ts.replace(env=env, obs=obs1, replay=replay, key=key,
                         step=ts.step + 1)
         ready = (replay.idx >= replay.size) & \
@@ -145,38 +167,44 @@ def make_fns(cfg: Config, benv):
             (jnp.mean(rews), jnp.mean(losses), jnp.max(max_qs),
              jnp.max(gnorms))
 
+    validate = cfg.mode == "validate"
+
     @jax.jit
     def greedy_episode(ts: QLearnTS):
         """Greedy validation rollout.  Returns (reward, env_final,
-        ones_fraction): the reference's episode-reward scalar
-        (discounted mean reward, util.py:68-94) averaged over the env
-        batch, the final env state (validate-mode telemetry lives in
-        it), and the fraction of 1-actions (util.py:77-79)."""
+        ones_fraction, light_times): the reference's episode-reward
+        scalar (discounted mean reward, util.py:68-94) averaged over
+        the env batch, the final env state (trip telemetry lives in
+        it), the fraction of 1-actions (util.py:77-79), and the
+        per-step light-time stack the Repeater emits in validate mode
+        (traffic_test.py:41-47)."""
         def body(carry, t):
             env, obs, alive, total, n1 = carry
             a, _ = act(ts.params_main, obs, F32(0), None, greedy=True)
-            env, obs1, rew, done, _ = benv.step_autoreset_lazy(
-                env, jnp.moveaxis(a, 0, -1))
+            ea = env_action(a)                     # (B, I) phases
+            env, obs1, rew, done, info = benv.step_autoreset_lazy(
+                env, jnp.moveaxis(ea, 0, -1))
             disc = (cfg.gamma ** t.astype(F32)) if cfg.print_discounted else 1.0
             # episode_reward stops at done (util.py:68-94): the terminal
             # step's reward counts, everything after each env's first
             # done is masked out.
             step_r = jnp.mean(rew, axis=0) * alive.astype(F32)   # (B,)
             total = total + jnp.mean(step_r) * disc
-            n1 = n1 + jnp.sum(a)
-            return (env, obs1, alive & ~done, total, n1), None
+            n1 = n1 + jnp.sum(ea)
+            ys = info["light_times"] if validate else None
+            return (env, obs1, alive & ~done, total, n1), ys
 
         B = benv.n_envs
         # validation runs a FRESH episode (the reference's val() calls
         # env.reset() through epoch, qlearn.py:142-143) rather than
         # continuing from mid-training congestion
         env0, obs0 = benv.reset(ts.env)
-        (env, obs, alive, total, n1), _ = jax.lax.scan(
+        (env, obs, alive, total, n1), lt = jax.lax.scan(
             body, (env0, obs0, jnp.ones(B, bool), F32(0),
                    jnp.int32(0)),
             jnp.arange(cfg.episode_len))
         denom = cfg.episode_len * I * B
-        return total, env, n1.astype(F32) / denom
+        return total, env, n1.astype(F32) / denom, lt
 
     return net, tx, run_episode, greedy_episode, act
 
@@ -196,13 +224,19 @@ def make_state(cfg: Config):
         params_chooser=params,
         params_target=params,
         opt_state=tx.init(params),
-        replay=TransitionReplay.create(
-            cfg.buffer_size, obs_shape, benv.n_intersections,
-            benv.env.reward_size),
+        replay=FrameReplay.create(
+            cfg.buffer_size, B,
+            obs_shape[0] if len(obs_shape) == 2 else 1,  # stack depth
+            obs_shape[-1],
+            1 if cfg.single_agent else benv.n_intersections,
+            1 if cfg.single_agent else benv.env.reward_size),
         env=env, obs=obs,
         step=jnp.int32(0), train_steps=jnp.int32(0),
         episode=jnp.int32(0), rho=jnp.float32(0),
         key=k_ts)
+    if getattr(benv, "mesh", None) is not None:
+        from ..parallel import shard_train_state
+        ts = shard_train_state(benv.mesh, ts)
     ctx = QLearnCtx(benv=benv, net=net, tx=tx, run_episode=run_episode,
                     greedy_episode=greedy_episode, cfg=cfg)
     return ctx, ts
@@ -237,13 +271,34 @@ def train(cfg: Config, ctx: QLearnCtx, ts: QLearnTS, writer, ckpt):
 def validate(cfg: Config, ctx: QLearnCtx, ts: QLearnTS):
     from .common import validate_telemetry
     th0 = getattr(ts.env, "sim", None) and ts.env.sim.trip_hist
-    reward, env_final, onep = ctx.greedy_episode(ts)
-    info = validate_telemetry(cfg, ctx.benv, env_final, th0, float(onep))
+    reward, env_final, onep, lt = ctx.greedy_episode(ts)
+    info = validate_telemetry(cfg, ctx.benv, env_final, th0, float(onep),
+                              light_times=lt)
     # thread the advanced env back: repeated validation episodes then
     # see fresh spawn-stream state instead of replaying one trajectory
     return float(reward), info, ts.replace(env=env_final,
                                            obs=jnp.zeros_like(ts.obs))
 
 
+def policy_step(ctx: QLearnCtx, ts: QLearnTS):
+    """Host-steppable greedy policy for --render (common.render_greedy):
+    obs (…, B) -> action (I, B)."""
+    cfg = ctx.cfg
+    I = ctx.benv.n_intersections
+    if cfg.single_agent:
+        from ..envs.extra_wrappers import ungspace_actions
+        _, _decode, _ = ungspace_actions(I)
+        decode = jax.vmap(_decode)
+    else:
+        decode = lambda a: a
+
+    @jax.jit
+    def step(obs, carry):
+        q = ctx.net.apply(ts.params_main, _obs_bf(obs))
+        a = decode(jnp.argmax(q, -1).astype(I32))
+        return jnp.moveaxis(a, 0, -1), carry
+    return step
+
+
 def run(cfg: Config):
-    return handle_modes(cfg, make_state, train, validate)
+    return handle_modes(cfg, make_state, train, validate, policy_step)

@@ -26,7 +26,7 @@ from flax import struct
 from ..config import Config
 from ..models import DuelingQRNN
 from .common import build_env, handle_modes, validation_hook
-from .exploration import anneal, softmax_decision
+from .exploration import exploration_param, softmax_decision
 from .replay import EpisodeReplay
 
 F32 = jnp.float32
@@ -58,7 +58,20 @@ class QRnnCtx(NamedTuple):
 def make_fns(cfg: Config, benv):
     I = benv.n_intersections
     B = benv.n_envs
-    net = DuelingQRNN(n_actions=I)
+    if cfg.single_agent:
+        # --single_agent: one 2^I-way head, decoded to phase bits for
+        # the env, mean reward (see qlearn.make_fns / UnGSpaceWrapper)
+        from ..envs.extra_wrappers import ungspace_actions
+        _, _decode, _ = ungspace_actions(I)
+        heads, choices = 1, 2 ** I
+        env_action = jax.vmap(_decode)
+        learn_reward = lambda r_bf: jnp.mean(r_bf, axis=-1,
+                                             keepdims=True)
+    else:
+        heads, choices = I, 2
+        env_action = lambda a: a
+        learn_reward = lambda r_bf: r_bf
+    net = DuelingQRNN(n_actions=heads, n_choices=choices)
     tx = optax.adam(cfg.learning_rate)
 
     def flat_bf(obs):
@@ -73,27 +86,33 @@ def make_fns(cfg: Config, benv):
             return jnp.argmax(q, -1).astype(I32), carry
         return softmax_decision(key, q, eps, cfg.exploration), carry
 
+    validate_mode = cfg.mode == "validate"
+
     def collect_episode(params, env, key, eps, greedy=False):
-        """Roll one episode on all B envs; returns sequences + env."""
+        """Roll one episode on all B envs; returns sequences + env
+        (plus the light-time stack in validate mode)."""
         env, obs = benv.reset(env)
 
         def body(carry, _):
             env, obs, gru, key = carry
             key, k = jax.random.split(key)
             a, gru = act(params, flat_bf(obs), gru, eps, k, greedy)
-            env, obs1, rew, done, _ = benv.step_autoreset_lazy(
-                env, jnp.moveaxis(a, 0, -1))
+            env, obs1, rew, done, info = benv.step_autoreset_lazy(
+                env, jnp.moveaxis(env_action(a), 0, -1))
             # GRU carry resets at episode boundaries (the reference
             # threads state_in per episode, a3c.py:52-63 analogue)
             gru = jnp.where(done[:, None], 0.0, gru)
-            out = (flat_bf(obs), a, jnp.moveaxis(rew, -1, 0), done)
+            ys = info["light_times"] if validate_mode else None
+            out = (flat_bf(obs), a,
+                   learn_reward(jnp.moveaxis(rew, -1, 0)), done, ys)
             return (env, obs1, gru, key), out
 
         gru0 = jnp.zeros((B, net.hidden), F32)
-        (env, obs_last, _, key), (s_seq, a_seq, r_seq, d_seq) = \
+        (env, obs_last, _, key), (s_seq, a_seq, r_seq, d_seq, lt) = \
             jax.lax.scan(body, (env, obs, gru0, key), None,
                          length=cfg.episode_len)
-        return env, key, s_seq, a_seq, r_seq, d_seq, flat_bf(obs_last)
+        return (env, key, s_seq, a_seq, r_seq, d_seq, flat_bf(obs_last),
+                lt)
 
     def td_train(ts, _):
         key, k1 = jax.random.split(ts.key)
@@ -132,18 +151,24 @@ def make_fns(cfg: Config, benv):
 
     @jax.jit
     def run_episode(ts: QRnnTS):
-        eps = anneal(cfg.start_eps, cfg.end_eps, cfg.annealing_episodes,
-                     ts.episode)
+        eps = exploration_param(cfg, ts.episode)
         key, k = jax.random.split(ts.key)
-        env, key, s_seq, a_seq, r_seq, d_seq, s_last = collect_episode(
+        env, key, s_seq, a_seq, r_seq, d_seq, s_last, _ = collect_episode(
             ts.params_main, ts.env, k, eps)
         # time-major -> episode-major storage
         s_full = jnp.concatenate(
             [jnp.moveaxis(s_seq, 0, 1), s_last[:, None]], axis=1)
+        # real episode lengths (qrnn.py:31-55 stores each episode with
+        # its length): an env that overflowed ends its stored episode
+        # at the first done — steps after it belong to the auto-reset
+        # successor episode and are masked out of sampled traces
+        anyd = jnp.any(d_seq, axis=0)                        # (B,)
+        first_done = jnp.argmax(d_seq.astype(I32), axis=0)
+        lens = jnp.where(anyd, first_done + 1,
+                         cfg.episode_len).astype(I32)
         replay = ts.replay.add_episodes(
             s_full, jnp.moveaxis(a_seq, 0, 1), jnp.moveaxis(r_seq, 0, 1),
-            1.0 - jnp.moveaxis(d_seq, 0, 1).astype(F32),
-            jnp.full((s_seq.shape[1],), cfg.episode_len, I32))
+            1.0 - jnp.moveaxis(d_seq, 0, 1).astype(F32), lens)
         ts = ts.replace(env=env, key=key, replay=replay,
                         step=ts.step + cfg.episode_len)
         ready = ts.replay.filled >= ts.replay.size
@@ -161,7 +186,7 @@ def make_fns(cfg: Config, benv):
 
     @jax.jit
     def greedy_episode(ts: QRnnTS):
-        env, key, s_seq, a_seq, r_seq, d_seq, _ = collect_episode(
+        env, key, s_seq, a_seq, r_seq, d_seq, _, lt = collect_episode(
             ts.params_main, ts.env, ts.key, F32(0), greedy=True)
         t = jnp.arange(cfg.episode_len).astype(F32)
         disc = cfg.gamma ** t if cfg.print_discounted else jnp.ones_like(t)
@@ -170,7 +195,9 @@ def make_fns(cfg: Config, benv):
         alive = (jnp.cumsum(d, axis=0) - d) < 1
         r_env = jnp.mean(r_seq, axis=2) * alive        # (T, B)
         rew = jnp.sum(jnp.mean(r_env, axis=1) * disc)
-        return rew, env, jnp.mean(a_seq.astype(F32))
+        # ones fraction over env PHASES (decode first under --single_agent)
+        ea_seq = jax.vmap(env_action)(a_seq)           # (T, B, I)
+        return rew, env, jnp.mean(ea_seq.astype(F32)), lt
 
     return net, tx, run_episode, greedy_episode
 
@@ -189,11 +216,15 @@ def make_state(cfg: Config):
     ts = QRnnTS(
         params_main=params, params_chooser=params, params_target=params,
         opt_state=tx.init(params),
-        replay=EpisodeReplay.create(n_slots, cfg.episode_len, obs_dim,
-                                    benv.n_intersections,
-                                    benv.env.reward_size),
+        replay=EpisodeReplay.create(
+            n_slots, cfg.episode_len, obs_dim,
+            1 if cfg.single_agent else benv.n_intersections,
+            1 if cfg.single_agent else benv.env.reward_size),
         env=env, step=jnp.int32(0), train_steps=jnp.int32(0),
         episode=jnp.int32(0), key=k_ts)
+    if getattr(benv, "mesh", None) is not None:
+        from ..parallel import shard_train_state
+        ts = shard_train_state(benv.mesh, ts)
     return QRnnCtx(benv=benv, net=net, run_episode=run_episode,
                    greedy_episode=greedy_episode, cfg=cfg), ts
 
@@ -222,12 +253,37 @@ def train(cfg: Config, ctx: QRnnCtx, ts: QRnnTS, writer, ckpt):
 def validate(cfg: Config, ctx: QRnnCtx, ts: QRnnTS):
     from .common import validate_telemetry
     th0 = getattr(ts.env, "sim", None) and ts.env.sim.trip_hist
-    rew, env_final, onep = ctx.greedy_episode(ts)
-    info = validate_telemetry(cfg, ctx.benv, env_final, th0, float(onep))
+    rew, env_final, onep, lt = ctx.greedy_episode(ts)
+    info = validate_telemetry(cfg, ctx.benv, env_final, th0, float(onep),
+                              light_times=lt)
     # thread the advanced env back so repeated validation episodes see
     # fresh spawn-stream state instead of replaying one trajectory
     return float(rew), info, ts.replace(env=env_final)
 
 
+def policy_step(ctx: QRnnCtx, ts: QRnnTS):
+    """Host-steppable greedy policy for --render."""
+    cfg = ctx.cfg
+    B = ctx.benv.n_envs
+    I = ctx.benv.n_intersections
+    if cfg.single_agent:
+        from ..envs.extra_wrappers import ungspace_actions
+        _, _decode, _ = ungspace_actions(I)
+        decode = jax.vmap(_decode)
+    else:
+        decode = lambda a: a
+
+    @jax.jit
+    def step(obs, carry):
+        if carry is None:
+            carry = jnp.zeros((B, ctx.net.hidden), F32)
+        obs_bf = jnp.moveaxis(obs, -1, 0).reshape(B, -1)
+        q, carry = ctx.net.apply(ts.params_main, obs_bf[:, None, :],
+                                 carry)
+        a = decode(jnp.argmax(q[:, 0], -1).astype(I32))
+        return jnp.moveaxis(a, 0, -1), carry
+    return step
+
+
 def run(cfg: Config):
-    return handle_modes(cfg, make_state, train, validate)
+    return handle_modes(cfg, make_state, train, validate, policy_step)

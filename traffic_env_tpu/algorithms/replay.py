@@ -19,61 +19,90 @@ from flax import struct
 
 
 @struct.dataclass
-class TransitionReplay:
-    """Ring buffer of (s, a, r, done, s') transitions (qlearn.py:22-50)."""
-    s: jnp.ndarray       # f32[N, *obs_shape]
-    a: jnp.ndarray       # i32[N, act_dim]
-    r: jnp.ndarray       # f32[N, reward_size]
-    nd: jnp.ndarray      # f32[N]  (1 - done)
-    s1: jnp.ndarray      # f32[N, *obs_shape]
-    filled: jnp.ndarray  # i32[] inserts, saturating at N (fill gate —
-                         # an unbounded counter overflows int32 after
-                         # ~2^31 inserts and silently disables training)
+class FrameReplay:
+    """Transition replay that stores each observation FRAME once.
+
+    The reference's graph-resident ring stores full (s, s') pairs per
+    transition (qlearn.py:22-50); with qlearn's 20-frame history stacks
+    that means writing 2x20 frames of redundant HBM per insert.  Here
+    the ring is per-STEP: one frame row, one action/reward/done row per
+    agent step across the whole env batch, and the k-frame stacks the
+    net consumes are reconstructed at sample time by gathering k+1
+    consecutive rows — a ~2k-fold cut in replay write bandwidth, the
+    dominant cost of the jitted qlearn episode at 4096 envs.
+
+    Reconstruction is EXACT for the lazy-autoreset actor (env.py
+    step_autoreset_lazy): the env's history buffer rolls straight
+    through resets, so the last k frames of an env's own stream are
+    precisely the stack the policy saw.  Capacity is ``steps`` ring
+    rows = steps * n_envs transitions; sampling is uniform over the
+    (valid steps x envs) window, and one row per step means duplicate
+    ring slots cannot occur (insert order is trivially deterministic).
+    """
+    frames: jnp.ndarray  # f32[N, B, obs_dim]  newest frame after step
+    a: jnp.ndarray       # i32[N, B, heads]
+    r: jnp.ndarray       # f32[N, B, reward_size]
+    nd: jnp.ndarray      # f32[N, B]  (1 - done)
+    filled: jnp.ndarray  # i32[] steps inserted, saturating at N
     cursor: jnp.ndarray  # i32[] ring write position (wraps mod N)
+    k: int = struct.field(pytree_node=False, default=1)  # history depth
 
     @classmethod
-    def create(cls, size: int, obs_shape, act_dim: int, reward_size: int):
+    def create(cls, buffer_size: int, n_envs: int, k: int, obs_dim: int,
+               act_dim: int, reward_size: int):
+        """``buffer_size`` is the reference's transition capacity; the
+        step-ring depth is buffer_size/n_envs rows, floored at k+2 so
+        at least two distinct stacks are always reconstructible."""
+        steps = max(buffer_size // max(n_envs, 1), k + 2)
         return cls(
-            s=jnp.zeros((size, *obs_shape), jnp.float32),
-            a=jnp.zeros((size, act_dim), jnp.int32),
-            r=jnp.zeros((size, reward_size), jnp.float32),
-            nd=jnp.zeros((size,), jnp.float32),
-            s1=jnp.zeros((size, *obs_shape), jnp.float32),
+            frames=jnp.zeros((steps, n_envs, obs_dim), jnp.float32),
+            a=jnp.zeros((steps, n_envs, act_dim), jnp.int32),
+            r=jnp.zeros((steps, n_envs, reward_size), jnp.float32),
+            nd=jnp.zeros((steps, n_envs), jnp.float32),
             filled=jnp.int32(0),
             cursor=jnp.int32(0),
+            k=int(k),
         )
 
     @property
     def idx(self):
-        # back-compat alias: the reference gates training on total
-        # inserts reaching buffer_size (qlearn.py:117-122)
+        # back-compat alias: the reference gates training on the
+        # buffer being full (qlearn.py:117-122)
         return self.filled
 
     @property
     def size(self):
-        return self.s.shape[0]
+        return self.frames.shape[0]
 
-    def add_batch(self, s, a, r, done, s1):
-        """Insert a batch of B transitions at consecutive ring slots."""
-        b = s.shape[0]
-        slots = (self.cursor + jnp.arange(b)) % self.size
+    def add_step(self, frame, a, r, done):
+        """Insert one agent step across the env batch: ``frame`` is the
+        NEWEST observation frame after the step, (B, obs_dim)."""
+        c = self.cursor
         return self.replace(
-            s=self.s.at[slots].set(s),
-            a=self.a.at[slots].set(a),
-            r=self.r.at[slots].set(r),
-            nd=self.nd.at[slots].set(1.0 - done.astype(jnp.float32)),
-            s1=self.s1.at[slots].set(s1),
-            filled=jnp.minimum(self.filled + b, jnp.int32(self.size)),
-            cursor=(self.cursor + b) % jnp.int32(self.size),
+            frames=self.frames.at[c].set(frame),
+            a=self.a.at[c].set(a),
+            r=self.r.at[c].set(r),
+            nd=self.nd.at[c].set(1.0 - done.astype(jnp.float32)),
+            filled=jnp.minimum(self.filled + 1, jnp.int32(self.size)),
+            cursor=(c + 1) % jnp.int32(self.size),
         )
 
     def sample(self, key, n: int):
-        """Uniform sample over the whole ring (qlearn.py:42-50 samples
-        uniformly over buffer_size regardless of fill, after the warmup
-        gate ensures the buffer is full)."""
-        i = jax.random.randint(key, (n,), 0, self.size)
-        return (self.s[i], self.a[i], self.r[i], self.nd[i, None],
-                self.s1[i])
+        """Uniform over valid (step, env) transitions.  Transition j
+        consumes frames j-k..j: s = stack(j-k..j-1) (the obs the actor
+        saw when choosing a(j)), s1 = stack(j-k+1..j)."""
+        N, B = self.size, self.frames.shape[1]
+        k1, k2 = jax.random.split(key)
+        m = jnp.maximum(self.filled - self.k, 1)  # valid step count
+        u = jax.random.randint(k1, (n,), 0, m)    # offset from newest
+        e = jax.random.randint(k2, (n,), 0, B)
+        j = (self.cursor - 1 - u) % jnp.int32(N)  # row of frame(j)
+        offs = jnp.arange(self.k)
+        idx_s = (j[:, None] - self.k + offs[None, :]) % N   # (n, k)
+        s = self.frames[idx_s, e[:, None]]        # (n, k, obs)
+        s1 = self.frames[(idx_s + 1) % N, e[:, None]]
+        return (s, self.a[j, e], self.r[j, e], self.nd[j, e][:, None],
+                s1)
 
 
 @struct.dataclass
@@ -113,7 +142,7 @@ class EpisodeReplay:
         ``size`` episodes is kept — duplicate ring slots in a single
         scatter would otherwise keep an implementation-defined winner
         (nondeterministic, breaking --exact reproducibility)."""
-        b = lengths.shape[0]
+        b = orig_b = lengths.shape[0]
         n = self.size
         if b > n:
             sel = (self.cursor * jnp.int32(13)
@@ -122,6 +151,9 @@ class EpisodeReplay:
             r_seq, nd_seq, lengths = r_seq[sel], nd_seq[sel], lengths[sel]
             b = n
         slots = (self.cursor + jnp.arange(b)) % n
+        # cursor advances by the ORIGINAL batch size: with b a
+        # multiple of n, advancing by the kept count would leave the
+        # cursor fixed and the "rotating" subset static forever
         return self.replace(
             s=self.s.at[slots].set(s_seq),
             a=self.a.at[slots].set(a_seq),
@@ -129,7 +161,7 @@ class EpisodeReplay:
             nd=self.nd.at[slots].set(nd_seq),
             lens=self.lens.at[slots].set(lengths),
             filled=jnp.minimum(self.filled + b, jnp.int32(n)),
-            cursor=(self.cursor + b) % jnp.int32(n),
+            cursor=(self.cursor + orig_b) % jnp.int32(n),
         )
 
     def sample_traces(self, key, n_ep: int, n_exp: int):

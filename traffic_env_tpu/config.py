@@ -76,7 +76,6 @@ class Config:
     trainer: str = "qlearn"
     exploration: str = "e_greedy"   # e_greedy | boltzman | proportional
     batch_size: int = 30
-    vis_size: int = 200
     mode: str = "train"             # train | validate
     spacing: int = 3
     start_eps: float = 0.8
@@ -88,7 +87,7 @@ class Config:
     target_update_rate: int = 10
     buffer_size: int = 10000
     trace_size: int = 8
-    threads: int = 4                # becomes the actor-batch factor on TPU
+    threads: int = 4     # reference worker count -> actor-batch floor
     lam: float = 1.0
     debug: bool = False
     train_rate: int = 1
@@ -109,7 +108,10 @@ class Config:
     seed: int = 0
     exact: bool = False             # bit-exact parity mode (host spawn streams)
     conv_gru: bool = False          # grid-shaped ConvGRU policy for a3c
-    mesh_shape: str = ""            # e.g. "4,2" -> (dp, mp); "" = all-dp
+    mesh_shape: str = ""            # e.g. "8" or "4,2" -> (dp, mp)
+    coordinator: str = ""           # multi-host: coordinator host:port
+    num_processes: int = 0          # multi-host: process count (0 = single)
+    process_id: int = 0             # multi-host: this process's index
 
     # -- derived (filled by derive()) -------------------------------------
     light_iterations: int = 10
@@ -168,6 +170,11 @@ def _std_derivations(cfg: Config) -> dict:
         out["mode"] = "validate"
     if cfg.use_avg:
         out["print_avg"] = True
+    if cfg.num_envs < cfg.threads:
+        # the reference's --threads is its actor-worker count
+        # (a3c.py:69); here the lockstep env batch IS the worker pool,
+        # so threads lower-bounds it
+        out["num_envs"] = cfg.threads
     return out
 
 
@@ -204,7 +211,12 @@ def derive_spawn_rate(cfg: Config, open_sides: int) -> "Config":
 # -- CLI ------------------------------------------------------------------
 
 def parse_flags(argv=None) -> Config:
-    parser = argparse.ArgumentParser(description="traffic_env_tpu")
+    # allow_abbrev=False: prefix abbreviations (--num_en=512) would
+    # parse but be recorded under the abbreviated name in
+    # _EXPLICIT_CLI, so a --restore run would silently let the
+    # settings.json snapshot win over the user's explicit override.
+    parser = argparse.ArgumentParser(description="traffic_env_tpu",
+                                     allow_abbrev=False)
     for f in dataclasses.fields(Config):
         name = "--" + f.name
         if f.type in ("bool", bool):

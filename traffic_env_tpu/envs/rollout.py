@@ -31,6 +31,7 @@ class BatchedEnv(NamedTuple):
     step_autoreset: callable
     step_autoreset_lazy: callable
     n_intersections: int
+    mesh: object = None    # jax.sharding.Mesh when --mesh_shape is set
 
 
 def make_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
@@ -237,7 +238,7 @@ def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
                       reset=xbenv.reset, step=step,
                       step_autoreset=step_autoreset,
                       step_autoreset_lazy=step_autoreset_lazy,
-                      n_intersections=topo.intersections)
+                      n_intersections=topo.intersections, mesh=mesh)
 
 
 def random_rollout(benv: BatchedEnv, state: EnvState, key,

@@ -29,8 +29,11 @@ import jax.numpy as jnp
 
 
 class QNet(nn.Module):
-    """qlearn.py:12-20 — returns (batch, n_actions, 2) Q values."""
+    """qlearn.py:12-20 — returns (batch, n_actions, n_choices) Q values.
+    n_choices=2 is the per-intersection phase pair; --single_agent uses
+    one head with 2^I choices (wrappers/gspace.py:23-34)."""
     n_actions: int
+    n_choices: int = 2
 
     @nn.compact
     def __call__(self, obs):
@@ -39,17 +42,18 @@ class QNet(nn.Module):
         h1 = nn.Dense(200)(h0)
         resid = nn.Dense(200)(nn.relu(h1))
         h2 = nn.relu(h1 + resid)
-        q = nn.Dense(self.n_actions * 2)(h2)
-        return q.reshape((-1, self.n_actions, 2))
+        q = nn.Dense(self.n_actions * self.n_choices)(h2)
+        return q.reshape((-1, self.n_actions, self.n_choices))
 
 
 class DuelingQRNN(nn.Module):
     """qrnn.py:5-23 — recurrent dueling Q net over a trace.
 
-    Input (batch, time, obs_dim); returns ((batch, time, actions, 2) Q,
-    final GRU state)."""
+    Input (batch, time, obs_dim); returns ((batch, time, actions,
+    n_choices) Q, final GRU state)."""
     n_actions: int
     hidden: int = 220
+    n_choices: int = 2
 
     @nn.compact
     def __call__(self, obs, initial_state=None, lens=None):
@@ -63,10 +67,11 @@ class DuelingQRNN(nn.Module):
         carry, seq = scan(x, initial_carry=initial_state)
         mid = nn.relu(nn.Dense(180)(seq))
         a_stream, v_stream = jnp.split(mid, 2, axis=-1)
-        adv = nn.Dense(self.n_actions * 2)(a_stream).reshape(
-            (b, t, self.n_actions, 2))
-        val = nn.Dense(self.n_actions * 2)(v_stream).reshape(
-            (b, t, self.n_actions, 2))
+        nc = self.n_choices
+        adv = nn.Dense(self.n_actions * nc)(a_stream).reshape(
+            (b, t, self.n_actions, nc))
+        val = nn.Dense(self.n_actions * nc)(v_stream).reshape(
+            (b, t, self.n_actions, nc))
         q = val + adv - jnp.mean(adv, axis=-1, keepdims=True)
         return q, carry
 

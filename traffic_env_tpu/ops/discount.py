@@ -44,16 +44,30 @@ def discount(a, gamma: float, use_avg: bool = False, nd=None):
         out = jnp.concatenate([rest, last[None]], axis=0)
     if use_avg:
         n = a.shape[0]
-        # denom_i = 1 + gamma + ... + gamma^(n-1-i), built front-to-back
-        # exactly like the reference loop (util.py:123-129)
-        denoms = []
-        denom, extras = jnp.float32(1.0), gamma
-        for _ in range(n):
-            denoms.append(denom)
-            denom = denom + extras
-            extras = extras * gamma
-        denoms = jnp.stack(denoms[::-1])
-        out = out / denoms.reshape((n,) + (1,) * (a.ndim - 1))
+        if nd is not None:
+            # the denominator must follow the same nd-masked recurrence
+            # as the numerator (denom_t = 1 + gamma*m_t*denom_{t+1});
+            # the horizon-only geometric sum would average a truncated
+            # return as if it covered the whole remaining horizon,
+            # biasing positions shortly before an auto-reset low
+            def back_denom(carry, m):
+                y = 1.0 + gamma * m * carry
+                return y, y
+
+            _, denoms = jax.lax.scan(back_denom, jnp.zeros_like(a[-1]),
+                                     ndx, reverse=True)
+            out = out / denoms
+        else:
+            # denom_i = 1 + gamma + ... + gamma^(n-1-i), front-to-back
+            # exactly like the reference loop (util.py:123-129)
+            denoms = []
+            denom, extras = jnp.float32(1.0), gamma
+            for _ in range(n):
+                denoms.append(denom)
+                denom = denom + extras
+                extras = extras * gamma
+            denoms = jnp.stack(denoms[::-1])
+            out = out / denoms.reshape((n,) + (1,) * (a.ndim - 1))
     return out
 
 

@@ -100,6 +100,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                        max_crossings_per_tick: int = 4,
                        block_envs: int = 128,
                        autoreset: bool = False,
+                       emit_trips: bool = False,
                        interpret: bool = False):
     R, Rt, I = topo.roads, topo.train_roads, topo.intersections
     S = RING
@@ -135,7 +136,11 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
         n = len(STATE_KEYS)
         in_refs = refs[:n]
         out_refs = refs[n:n + n]
-        acc_passed_ref, rew_sum_ref, last_rew_ref = refs[n + n:]
+        if emit_trips:
+            (acc_passed_ref, rew_sum_ref, last_rew_ref,
+             trips_ref) = refs[n + n:]
+        else:
+            acc_passed_ref, rew_sum_ref, last_rew_ref = refs[n + n:]
 
         (x, v, wrow, leading, lastcar, phase, elapsed, waiting, detected,
          passed_dst, gap_state, steps, gtick, done) = [
@@ -425,6 +430,26 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             fake_xr = pick(x, lead_mask)
             fake_vr = pick(v, lead_mask)
             fake_wr = pick(wrow, lead_mask)
+            if emit_trips:
+                # validate-mode telemetry: cars popping off an EXIT road
+                # leave the map; record (road, duration) events for the
+                # trip-time histogram (fast_core.py advance's trip_hist;
+                # reference advance_hack, traffic_env.py:137-157).  The
+                # histogram scatter itself runs in XLA outside the
+                # kernel (Mosaic has no scatter); here each (tick, k)
+                # pair writes one (R, Bb) plane of durations, -1 where
+                # no exit pop happened.
+                exit_m = (1 - is_train_i)[:, None] > 0       # (R, 1)
+                steps_row = steps[0][None, :]                # (1, Bb)
+                for k in range(Kc):
+                    ev = (count >= (k + 1)) & exit_m & \
+                        (livei[None, :] > 0)
+                    # w rows of non-crossing picks can be +/-inf (fake
+                    # leader); clamp before the i32 cast (inf->i32 UB),
+                    # masked out anyway
+                    w_i = jnp.clip(w_k[k], F32(0), F32(1e9)).astype(I32)
+                    dur = steps_row - w_i
+                    trips_ref[w_tick * Kc + k] = jnp.where(ev, dur, -1)
             pop_mask = (dL >= 1) & (dL <= count[None, :, :])
             # receiver tail read below must see the PRE-pop plane (the
             # oracle's add_car runs before a feeder-first receiver's own
@@ -530,13 +555,17 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             spawn_rows = jnp.full((W, Ks, B), -1, I32)
         consts = [jnp.asarray(perm_next), jnp.asarray(perm_prev),
                   jnp.asarray(dest1h), jnp.asarray(flags)]
+        extra_shapes = [jax.ShapeDtypeStruct((Rt, B), I32),
+                        jax.ShapeDtypeStruct((I, B), F32),
+                        jax.ShapeDtypeStruct((I, B), F32)]
+        extra_specs = [bspec((Rt, B)), bspec((I, B)), bspec((I, B))]
+        if emit_trips:
+            extra_shapes.append(
+                jax.ShapeDtypeStruct((W * Kc, R, B), I32))
+            extra_specs.append(bspec((W * Kc, R, B)))
         out_shapes = ([jax.ShapeDtypeStruct(l.shape, l.dtype)
-                       for l in leaves]
-                      + [jax.ShapeDtypeStruct((Rt, B), I32),
-                         jax.ShapeDtypeStruct((I, B), F32),
-                         jax.ShapeDtypeStruct((I, B), F32)])
-        out_specs = ([bspec(l.shape) for l in leaves]
-                     + [bspec((Rt, B)), bspec((I, B)), bspec((I, B))])
+                       for l in leaves] + extra_shapes)
+        out_specs = [bspec(l.shape) for l in leaves] + extra_specs
         in_specs = ([bspec(action.shape), bspec(spawn_rows.shape)]
                     + [cspec(c.shape) for c in consts]
                     + [bspec(l.shape) for l in leaves])
@@ -552,8 +581,10 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             interpret=interpret,
         )(action, spawn_rows, *consts, *leaves)
         new_state = dict(zip(STATE_KEYS, outs[:len(STATE_KEYS)]))
-        acc_passed, rew_sum, last_rew = outs[len(STATE_KEYS):]
-        return new_state, acc_passed, rew_sum, last_rew
+        extras = outs[len(STATE_KEYS):]
+        acc_passed, rew_sum, last_rew = extras[:3]
+        trips = extras[3] if emit_trips else None
+        return new_state, acc_passed, rew_sum, last_rew, trips
 
     return window
 
@@ -624,7 +655,7 @@ def make_repeater_window(topo: GridRoad, cfg: Config,
     window = make_window_kernel(
         topo, cfg, on_device_spawns=on_device_spawns,
         max_spawns_per_tick=Ks, block_envs=block_envs,
-        autoreset=autoreset, interpret=interpret)
+        autoreset=autoreset, emit_trips=validate, interpret=interpret)
 
     def repeater_step(sim, action, sched=None):
         action = jnp.asarray(action).astype(I32)
@@ -635,8 +666,18 @@ def make_repeater_window(topo: GridRoad, cfg: Config,
         rows = None
         if not on_device_spawns:
             rows = build_spawn_rows(sched, sim.global_tick, W, Ks, topo)
-        d, acc_passed, rew_sum, last_rew = window(
+        d, acc_passed, rew_sum, last_rew, trips = window(
             sim_to_dict(sim), action, rows)
+        if validate and sim.trip_hist is not None:
+            # scatter the kernel's exit-pop events into the trip-time
+            # histogram (XLA scatter-add; Mosaic has no scatter)
+            nb, B = sim.trip_hist.shape[0], trips.shape[-1]
+            ev = trips.reshape(-1, B)                     # (W*Kc*R, B)
+            valid = (ev >= 0).astype(I32)
+            binned = jnp.clip(ev, 0, nb - 1)
+            th = sim.trip_hist.at[
+                binned, jnp.arange(B)[None, :]].add(valid)
+            sim = sim.replace(trip_hist=th)
         sim = dict_to_sim(sim, d, jnp.zeros_like(acc_passed), last_rew)
         mult = (2 * sim.phase - 1).astype(F32)
         obs = jnp.concatenate([

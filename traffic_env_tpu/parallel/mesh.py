@@ -61,6 +61,53 @@ def shard_env_state(mesh: Mesh, tree):
     return jax.tree.map(place, tree)
 
 
+def row_sharding(mesh: Mesh, leaf) -> NamedSharding:
+    """Shard the LEADING axis on dp (replay rows, batch-first GRU
+    carries), replicate the rest."""
+    spec = P(*(["dp"] + [None] * (leaf.ndim - 1))) if leaf.ndim else P()
+    return NamedSharding(mesh, spec)
+
+
+def shard_rows(mesh: Mesh, tree):
+    return jax.tree.map(
+        lambda l: jax.device_put(l, row_sharding(mesh, l)), tree)
+
+
+def shard_train_state(mesh: Mesh, ts):
+    """Place a learner's whole training-state pytree on the mesh by
+    field role: the env/obs batch (trailing axis) and replay rows /
+    batch-first carries (leading axis) shard on dp, everything else
+    (parameters, optimizer, counters, PRNG keys) replicates — XLA's
+    partitioner then all-reduces gradients over dp (psum on ICI), the
+    collectives replacement for the reference's shared-memory
+    parameter server (a3c.py:47-48,66-97)."""
+    import dataclasses as _dc
+    updates = {}
+    for f in _dc.fields(ts):
+        val = getattr(ts, f.name)
+        if val is None:
+            continue
+        if f.name in ("env", "obs"):
+            updates[f.name] = shard_env_state(mesh, val)
+        elif f.name == "replay":
+            from ..algorithms.replay import FrameReplay
+            if isinstance(val, FrameReplay):
+                # frame rings are (steps, envs, ...): shard the env
+                # axis so each device's replay holds its own envs
+                def place(l):
+                    spec = (P(*([None, "dp"] + [None] * (l.ndim - 2)))
+                            if l.ndim >= 2 else P())
+                    return jax.device_put(l, NamedSharding(mesh, spec))
+                updates[f.name] = jax.tree.map(place, val)
+            else:
+                updates[f.name] = shard_rows(mesh, val)
+        elif f.name == "gru":
+            updates[f.name] = shard_rows(mesh, val)
+        else:
+            updates[f.name] = jax.device_put(val, replicated(mesh))
+    return ts.replace(**updates)
+
+
 def shard_params(mesh: Mesh, params, axis: Optional[str] = None):
     """Replicate parameters (dp) or shard Dense kernels' output dim on
     mp when a model axis exists."""

@@ -68,4 +68,86 @@ class Checkpointer:
         path = self.latest_path(name)
         if path is None:
             raise FileNotFoundError(f"no checkpoint '{name}' in {self.logdir}")
-        return self._ck.restore(path, item=jax.device_get(template))
+        tpl = jax.device_get(template)
+        try:
+            return self._ck.restore(path, item=tpl)
+        except Exception:
+            # schema-migration path: restore untyped, rewrite legacy
+            # field layouts, refit onto the template's pytree types
+            raw = self._ck.restore(path)
+            migrated = _migrate_schema(raw)
+            if migrated is None:
+                raise
+            return _fill_like(tpl, migrated)
+
+
+def _migrate_schema(raw):
+    """Known legacy checkpoint layouts -> current schema.  Returns the
+    rewritten untyped tree, or None if no migration applies.
+
+    * replay ``idx`` -> ``filled``/``cursor`` (the single insert
+      counter was split into a saturating fill gate and a rotating
+      write cursor; filled = min(idx, size), cursor = idx %% size).
+    """
+    if not isinstance(raw, dict):
+        return None
+    rep = raw.get("replay")
+    if (isinstance(rep, dict) and "idx" in rep
+            and "filled" not in rep and "s" in rep):
+        import numpy as np
+        rep = dict(rep)
+        idx = np.asarray(rep.pop("idx"))
+        size = np.asarray(rep["s"]).shape[0]
+        rep["filled"] = np.minimum(idx, size).astype(np.int32)
+        rep["cursor"] = (idx % size).astype(np.int32)
+        out = dict(raw)
+        out["replay"] = rep
+        return out
+    return None
+
+
+def _fill_like(template, raw):
+    """Refit an untyped (dict/list) restored tree onto the template's
+    pytree types (flax struct dataclasses, NamedTuples, dicts)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    def get(r, key, idx):
+        if isinstance(r, dict):
+            return r[key] if key in r else r[str(idx)]
+        return r[idx]
+
+    def fill(t, r):
+        if t is None:
+            return None
+        if dc.is_dataclass(t) and not isinstance(t, type):
+            return type(t)(**{
+                f.name: fill(getattr(t, f.name), get(r, f.name, i))
+                for i, f in enumerate(dc.fields(t))})
+        if isinstance(t, dict):
+            return {k: fill(v, get(r, k, i))
+                    for i, (k, v) in enumerate(t.items())}
+        if isinstance(t, tuple) and hasattr(t, "_fields"):
+            return type(t)(*[fill(v, get(r, k, i))
+                             for i, (k, v) in enumerate(
+                                 zip(t._fields, t))])
+        if isinstance(t, (list, tuple)):
+            return type(t)(fill(v, get(r, None, i))
+                           for i, v in enumerate(t))
+        if hasattr(t, "dtype") and jnp.issubdtype(t.dtype,
+                                                  jax.dtypes.prng_key):
+            # typed PRNG keys round-trip through their raw uint32 data
+            data = np.asarray(jax.random.key_data(r)
+                              if hasattr(r, "dtype")
+                              and jnp.issubdtype(getattr(r, "dtype"),
+                                                 jax.dtypes.prng_key)
+                              else r)
+            return jax.random.wrap_key_data(
+                jnp.asarray(data, jnp.uint32))
+        arr = np.asarray(r)
+        want = np.asarray(t)
+        return jnp.asarray(arr.astype(want.dtype).reshape(want.shape))
+
+    return fill(template, raw)

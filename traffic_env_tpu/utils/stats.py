@@ -1,17 +1,30 @@
-"""Episode statistics and streaming reporting.
+"""Streaming episode statistics and validation artifacts.
 
-Ports the reference's observability utilities (util.py:13-94):
-``episode_reward`` consumes an epoch generator and produces the
-discounted / averaged mean-reward scalar plus validate-mode info
-(action 0/1 fractions, light/trip times, unfinished cars);
-``print_running_stats`` streams mean/std until interrupted;
-``write_data`` dumps histograms + .npy artifacts.
+Covers the reference's observability surface (util.py:13-59): a
+streaming mean/std report over per-episode rewards, accumulation of
+validate-mode telemetry (light/trip times, unfinished cars), and the
+histogram + .npy artifact dump.
+
+Output-format compat contract (kept verbatim so downstream log parsers
+written for the reference keep working):
+
+    Reward %2f\t Mean %2f\t Std %2f
+    One prob: %2f,\t Zero prob: %2f
+
+Everything else is reorganized for this codebase: Welford's online
+moment update replaces the reference's incremental mean/variance
+recurrences (same values, numerically stabler), telemetry accumulation
+lives in a small dataclass instead of loose lists, and the epoch-
+generator reducer (reference ``episode_reward``) has no equivalent —
+episode reduction happens inside the jitted learner scans here, so the
+host only ever sees one scalar per episode.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import math
-from itertools import count
+import os
 
 import numpy as np
 
@@ -21,106 +34,95 @@ def forever(f):
         yield f()
 
 
-def episode_reward(cfg, gen, env_unfinished=None, trip_times=None):
-    """Reduce an epoch generator to (reward scalar, info dict).
+@dataclasses.dataclass
+class _Telemetry:
+    """Validate-mode accumulators drained from episode info dicts."""
+    light_times: list = dataclasses.field(default_factory=list)
+    trip_times: list = dataclasses.field(default_factory=list)
+    unfinished: list = dataclasses.field(default_factory=list)
 
-    ``gen`` yields (t, obs, action, reward, info, ...) tuples like the
-    reference's epoch generators (util.py:68-94)."""
-    num_0s = num_1s = 0
-    reward = 0.0
-    multiplier = 1.0
-    light_times: list = []
-    i = 0
-    for (i, _, a, r, info, *_) in gen:
-        reward += float(np.mean(r)) * (multiplier if cfg.print_discounted
-                                       else 1.0)
-        multiplier *= cfg.gamma
-        if info:
-            lt = np.asarray(info.get("light_times", ()))
-            light_times.extend(lt[np.nonzero(lt)].tolist()
-                               if lt.ndim else [])
-            a = np.asarray(a)
-            nz = int(np.count_nonzero(a))
-            num_1s += nz
-            num_0s += a.size - nz
-    if not cfg.print_avg:
-        denom = 1.0
-    elif cfg.gamma == 1:
-        denom = i + 1
-    else:
-        denom = (math.pow(cfg.gamma, i + 1) - 1) / (cfg.gamma - 1)
-    if cfg.mode == "validate":
-        total = max(num_1s + num_0s, 1)
-        info_struct = {
-            "zerop": num_0s / total,
-            "onep": num_1s / total,
-            "light_times": light_times,
-            "trip_times": list(trip_times) if trip_times is not None else [],
-            "unfinished": (float(env_unfinished())
-                           if env_unfinished is not None else 0.0),
-        }
-    else:
-        info_struct = None
-    return reward / denom, info_struct
+    def absorb(self, info: dict) -> None:
+        self.light_times.extend(info.get("light_times", ()))
+        self.trip_times.extend(info.get("trip_times", ()))
+        if "unfinished" in info:
+            self.unfinished.append(info["unfinished"])
+
+    def as_tuple(self):
+        return (self.light_times, self.trip_times, self.unfinished)
 
 
-def print_running_stats(iterator, max_iterations=None):
-    """Streaming mean/std of per-episode rewards (util.py:13-34);
-    returns (light_times, trip_times, unfinished) on interrupt/limit."""
-    trip_times: list = []
-    light_times: list = []
-    unfinished: list = []
+class Welford:
+    """Online mean/variance (Welford 1962): numerically stable single
+    pass, equivalent to the reference's running recurrences."""
+
+    def __init__(self):
+        self.n = 0
+        self.mean = 0.0
+        self._m2 = 0.0
+
+    def push(self, x: float) -> None:
+        self.n += 1
+        delta = x - self.mean
+        self.mean += delta / self.n
+        self._m2 += delta * (x - self.mean)
+
+    @property
+    def std(self) -> float:
+        return math.sqrt(self._m2 / (self.n - 1)) if self.n > 1 else 0.0
+
+
+def print_running_stats(episodes, max_iterations=None):
+    """Consume an iterator of (reward, info) pairs, printing the
+    streaming reward statistics after each episode, until the iterator
+    ends, ``max_iterations`` is reached, or the user interrupts.
+    Returns the accumulated (light_times, trip_times, unfinished)
+    telemetry (empty lists outside validate mode)."""
+    stats = Welford()
+    telemetry = _Telemetry()
     try:
-        reward_mean = 0.0
-        reward_var = 0.0
-        for iterations in count(1):
-            reward, info = next(iterator)
-            reward_mean = (reward + (iterations - 1) * reward_mean) / iterations
-            if iterations >= 2:
-                reward_var = (iterations - 2) / (iterations - 1) * reward_var \
-                    + (reward - reward_mean) ** 2 / iterations
+        for reward, info in episodes:
+            stats.push(reward)
             print("Reward %2f\t Mean %2f\t Std %2f"
-                  % (reward, reward_mean, math.sqrt(reward_var)))
+                  % (reward, stats.mean, stats.std))
             if info:
                 print("One prob: %2f,\t Zero prob: %2f"
                       % (info["onep"], info["zerop"]))
-                trip_times.extend(info["trip_times"])
-                light_times.extend(info["light_times"])
-                unfinished.append(info["unfinished"])
-            if max_iterations is not None and iterations >= max_iterations:
+                telemetry.absorb(info)
+            if max_iterations is not None and stats.n >= max_iterations:
                 break
     except (KeyboardInterrupt, StopIteration):
         print("Interrupted")
-    return (light_times, trip_times, unfinished)
+    return telemetry.as_tuple()
 
 
 def make_plot(cfg, light_times, trip_times, unfinished):
+    """Three stacked histograms with dashed mean markers, titled by
+    trainer (the reference's hist.png layout, util.py:44-59)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    def sub(ax, data, title):
+    fig, axes = plt.subplots(3, 1, figsize=(6.4, 4.8))
+    fig.suptitle("Stats for " + cfg.trainer, fontweight="bold",
+                 fontsize=14)
+    fig.subplots_adjust(hspace=0.5)
+    panels = [("Light Times", light_times), ("Trip Times", trip_times),
+              ("Unfinished", unfinished)]
+    for ax, (title, data) in zip(axes, panels):
         ax.set_title(title)
         if len(data):
             ax.hist(data, color="c")
-            ax.axvline(np.mean(data), color="b", linestyle="dashed",
-                       linewidth=2)
-
-    fig = plt.figure()
-    fig.suptitle("Stats for " + cfg.trainer, fontweight="bold", fontsize=14)
-    fig.subplots_adjust(hspace=0.5)
-    sub(fig.add_subplot(311), light_times, "Light Times")
-    sub(fig.add_subplot(312), trip_times, "Trip Times")
-    sub(fig.add_subplot(313), unfinished, "Unfinished")
+            ax.axvline(float(np.mean(data)), color="b",
+                       linestyle="dashed", linewidth=2)
     return fig
 
 
 def write_data(cfg, light_times, trip_times, unfinished, outdir="."):
-    """hist.png + .npy dumps (util.py:36-59)."""
-    import os
-
+    """Persist the validation artifacts: hist.png plus one .npy per
+    telemetry series (util.py:36-59's artifact set)."""
     fig = make_plot(cfg, light_times, trip_times, unfinished)
     fig.savefig(os.path.join(outdir, "hist.png"))
-    np.save(os.path.join(outdir, "light_times.npy"), light_times)
-    np.save(os.path.join(outdir, "trip_times.npy"), trip_times)
-    np.save(os.path.join(outdir, "unfinished.npy"), unfinished)
+    series = {"light_times": light_times, "trip_times": trip_times,
+              "unfinished": unfinished}
+    for name, data in series.items():
+        np.save(os.path.join(outdir, name + ".npy"), data)
