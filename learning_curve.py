@@ -62,7 +62,20 @@ def main():
     p.add_argument("--buffer_size", type=int, default=100000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="")
+    p.add_argument("--platform", type=str, default="",
+                   help="cpu: force the host platform (with --mesh_shape "
+                        "N, also fabricates N virtual devices — the "
+                        "config-5 sharded-run harness)")
     args = p.parse_args()
+    if args.platform == "cpu":
+        import os
+        n = int(args.mesh_shape.split(",")[0]) if args.mesh_shape else 0
+        if n > 1 and "xla_force_host_platform_device_count" not in \
+                os.environ.get("XLA_FLAGS", ""):
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={n}")
+        jax.config.update("jax_platforms", "cpu")
 
     anneal = args.annealing or max(args.episodes // 2, 1)
     batch = args.batch_size or (30 if args.trainer != "qlearn" else 256)

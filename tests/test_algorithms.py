@@ -159,35 +159,62 @@ def test_learner_validate_telemetry_and_render(tmp_path):
 
 
 def test_checkpoint_replay_schema_migration(tmp_path):
-    """Pre-rename checkpoints stored one replay counter ``idx``; the
-    restore path must migrate it to filled/cursor (filled = min(idx,
-    size), cursor = idx % size) instead of failing on the structure
-    diff."""
+    """Legacy checkpoint layouts must restore instead of failing on the
+    structure diff: (a) qrnn episode replays that stored one ``idx``
+    counter migrate to filled/cursor; (b) old per-transition qlearn
+    replays are incompatible with the per-step frame ring, so replay
+    restores EMPTY while every learned field restores."""
     import dataclasses
-    from traffic_env_tpu.algorithms import qlearn
+    from traffic_env_tpu.algorithms import qlearn, qrnn
     from traffic_env_tpu.utils.checkpoint import Checkpointer
-    logdir = str(tmp_path / "mig")
+    kw = dict(grid_m=1, grid_n=2, road_length=60.0,
+              **{k: v for k, v in BASE.items() if k != "total_episodes"})
+
+    # (a) qrnn: idx -> filled/cursor on the episode store
+    logdir = str(tmp_path / "mig_qrnn")
     os.makedirs(logdir)
-    cfg = Config(trainer="qlearn", logdir=logdir, grid_m=1, grid_n=2,
-                 road_length=60.0, **{k: v for k, v in BASE.items()
-                                      if k != "total_episodes"}).derive()
-    ctx, ts = qlearn.make_state(cfg)
-    ts = ts.replace(step=jnp.int32(77),
-                    replay=ts.replay.replace(filled=jnp.int32(32),
-                                             cursor=jnp.int32(5)))
-    # synthesize the OLD on-disk schema: replay dict with idx only
+    cfg = Config(trainer="qrnn", logdir=logdir, **kw).derive()
+    ctx, ts = qrnn.make_state(cfg)
+    ts = ts.replace(step=jnp.int32(55))
     old_state = dataclasses.asdict(ts)
     rep = old_state["replay"]
-    rep["idx"] = jnp.int32(37)          # 37 inserts into a 32 ring
+    rep["idx"] = jnp.int32(rep["s"].shape[0] + 5)   # 5 past capacity
     del rep["filled"], rep["cursor"]
     ck = Checkpointer(logdir)
     ck.save(old_state)
     restored = ck.restore(ts)
-    assert int(restored.step) == 77
-    assert int(restored.replay.filled) == 32    # min(37, 32)
-    assert int(restored.replay.cursor) == 5     # 37 % 32
+    assert int(restored.step) == 55
+    n = ts.replay.size
+    assert int(restored.replay.filled) == n          # min(n+5, n)
+    assert int(restored.replay.cursor) == 5          # (n+5) % n
     np.testing.assert_array_equal(np.asarray(restored.replay.s),
                                   np.asarray(ts.replay.s))
+
+    # (b) qlearn: legacy (s, a, r, nd, s1, idx) transition ring ->
+    # fresh FrameReplay, learned state intact
+    logdir2 = str(tmp_path / "mig_qlearn")
+    os.makedirs(logdir2)
+    cfg2 = Config(trainer="qlearn", logdir=logdir2, **kw).derive()
+    ctx2, ts2 = qlearn.make_state(cfg2)
+    ts2 = ts2.replace(step=jnp.int32(77), rho=jnp.float32(0.25))
+    old2 = dataclasses.asdict(ts2)
+    obs_dim = ts2.replay.frames.shape[-1]
+    old2["replay"] = {
+        "s": jnp.zeros((100, 20, obs_dim)), "a": jnp.zeros((100, 2),
+                                                           jnp.int32),
+        "r": jnp.zeros((100, 2)), "nd": jnp.zeros((100,)),
+        "s1": jnp.zeros((100, 20, obs_dim)), "idx": jnp.int32(137),
+    }
+    ck2 = Checkpointer(logdir2)
+    ck2.save(old2)
+    with pytest.warns(UserWarning, match="legacy transition-replay"):
+        restored2 = ck2.restore(ts2)
+    assert int(restored2.step) == 77
+    assert float(restored2.rho) == 0.25
+    assert int(restored2.replay.filled) == 0         # empty fresh ring
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(restored2.params_main)[0]),
+        np.asarray(jax.tree_util.tree_leaves(ts2.params_main)[0]))
 
 
 def test_a3c_loss_replay_exact_across_mid_window_resets(tmp_path):

@@ -75,35 +75,58 @@ class Checkpointer:
             # schema-migration path: restore untyped, rewrite legacy
             # field layouts, refit onto the template's pytree types
             raw = self._ck.restore(path)
-            migrated = _migrate_schema(raw)
+            migrated = _migrate_schema(raw, template)
             if migrated is None:
                 raise
             return _fill_like(tpl, migrated)
 
 
-def _migrate_schema(raw):
+class _FreshReplay:
+    """Sentinel: keep the template's freshly-initialized replay."""
+
+
+def _migrate_schema(raw, template):
     """Known legacy checkpoint layouts -> current schema.  Returns the
     rewritten untyped tree, or None if no migration applies.
 
     * replay ``idx`` -> ``filled``/``cursor`` (the single insert
       counter was split into a saturating fill gate and a rotating
       write cursor; filled = min(idx, size), cursor = idx %% size).
+    * legacy per-transition (s, a, r, nd, s1) replay -> the current
+      per-step FrameReplay cannot represent that layout, so the replay
+      restores EMPTY (replay is transient experience — params,
+      optimizer, env state and counters all restore; training refills
+      the ring within one buffer window).
     """
     if not isinstance(raw, dict):
         return None
     rep = raw.get("replay")
-    if (isinstance(rep, dict) and "idx" in rep
-            and "filled" not in rep and "s" in rep):
+    if not isinstance(rep, dict):
+        return None
+    changed = False
+    if "idx" in rep and "filled" not in rep and "s" in rep:
         import numpy as np
         rep = dict(rep)
         idx = np.asarray(rep.pop("idx"))
         size = np.asarray(rep["s"]).shape[0]
         rep["filled"] = np.minimum(idx, size).astype(np.int32)
         rep["cursor"] = (idx % size).astype(np.int32)
-        out = dict(raw)
-        out["replay"] = rep
-        return out
-    return None
+        changed = True
+    from ..algorithms.replay import FrameReplay
+    tpl_rep = getattr(template, "replay", None)
+    if isinstance(tpl_rep, FrameReplay) and "frames" not in rep:
+        import warnings
+        warnings.warn(
+            "legacy transition-replay checkpoint: replay layout is "
+            "incompatible with the per-step frame ring and restores "
+            "empty (all learned state restores normally)")
+        rep = _FreshReplay
+        changed = True
+    if not changed:
+        return None
+    out = dict(raw)
+    out["replay"] = rep
+    return out
 
 
 def _fill_like(template, raw):
@@ -122,6 +145,8 @@ def _fill_like(template, raw):
     def fill(t, r):
         if t is None:
             return None
+        if r is _FreshReplay:
+            return t      # keep the template's freshly-created subtree
         if dc.is_dataclass(t) and not isinstance(t, type):
             return type(t)(**{
                 f.name: fill(getattr(t, f.name), get(r, f.name, i))
