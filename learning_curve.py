@@ -55,6 +55,8 @@ def main():
     p.add_argument("--conv_gru", action="store_true")
     p.add_argument("--mesh_shape", type=str, default="")
     p.add_argument("--learning_rate", type=float, default=5e-4)
+    p.add_argument("--gamma", type=float, default=0.8)
+    p.add_argument("--lam", type=float, default=1.0)
     p.add_argument("--batch_size", type=int, default=0,
                    help="0 = per-trainer default")
     p.add_argument("--annealing", type=float, default=0.0,
@@ -83,6 +85,7 @@ def main():
         trainer=args.trainer, grid_m=args.grid, grid_n=args.grid,
         num_envs=args.num_envs, conv_gru=args.conv_gru,
         mesh_shape=args.mesh_shape, learning_rate=args.learning_rate,
+        gamma=args.gamma, lam=args.lam,
         batch_size=batch, buffer_size=args.buffer_size,
         annealing_episodes=anneal, start_eps=0.8, end_eps=0.05,
         target_update_rate=30, seed=args.seed,

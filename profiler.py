@@ -114,6 +114,11 @@ def profile_training(args):
 
     ts, stats = ctx.run_episode(ts)   # compile + warm
     fetch(stats)
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            ts, stats = ctx.run_episode(ts)
+            fetch(stats)
+        print(f"trace written to {args.trace}")
     t0 = time.perf_counter()
     for _ in range(args.episodes):
         ts, stats = ctx.run_episode(ts)

@@ -373,3 +373,16 @@ def test_discount_avg_masked_denominator():
                       for i in range(T)], np.float32)
     ref = np.asarray(discount(r, 0.9)) / denom[:, None]
     np.testing.assert_allclose(np.asarray(out2), ref, rtol=1e-5)
+
+
+def test_display_data_summary(capsys):
+    """display_data (reference util.py:61-66, a notebook helper with no
+    in-repo callers there either): histogram figure + mean/mode/std
+    summary lines."""
+    from traffic_env_tpu.utils.stats import display_data
+    cfg = Config(trainer="greedy")
+    fig = display_data(cfg, [1.0, 2.0, 2.0], [3.0, 4.0], [5.0])
+    out = capsys.readouterr().out
+    assert "Light times mean" in out and "mode 2.0" in out
+    assert "Trip times mean" in out and "Unfinished mean" in out
+    assert fig is not None

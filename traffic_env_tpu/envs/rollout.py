@@ -102,7 +102,7 @@ def make_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
 def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
                             on_device_spawns: bool = True,
                             max_spawns_per_tick: int | None = None,
-                            block_envs: int = 256,
+                            block_envs: int | None = None,
                             interpret: bool = False,
                             mesh=None) -> BatchedEnv:
     """BatchedEnv whose agent step is ONE fused Pallas kernel call per
@@ -123,6 +123,14 @@ def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
         # rare >=5-arrivals-per-tick bursts; schedule mode must match
         # the host-side row cap
         max_spawns_per_tick = 4 if on_device_spawns else 8
+    if block_envs is None:
+        # VMEM scales with roads x block lanes: the 3x3 sweet spot
+        # (block 256, ~48 roads) overflows the 64 MiB scoped limit on
+        # larger grids, so halve the block until the car planes fit
+        block_envs = 256
+        while block_envs > 128 and \
+                topo.roads * block_envs > 48 * 256:
+            block_envs //= 2
     if n_envs % block_envs:
         # shrink to the largest 128-multiple block that divides the
         # batch (Mosaic needs lane-dim multiples of 128)

@@ -126,3 +126,21 @@ def write_data(cfg, light_times, trip_times, unfinished, outdir="."):
               "unfinished": unfinished}
     for name, data in series.items():
         np.save(os.path.join(outdir, name + ".npy"), data)
+
+
+def display_data(cfg, light_times, trip_times, unfinished):
+    """Interactive summary (util.py:61-66): histogram figure plus
+    mean/mode/std lines per telemetry series.  Headless-safe — the
+    figure is returned (Agg backend) rather than plt.show()n."""
+    fig = make_plot(cfg, light_times, trip_times, unfinished)
+    for name, data in (("Light times", light_times),
+                       ("Trip times", trip_times),
+                       ("Unfinished", unfinished)):
+        if not len(data):
+            continue
+        arr = np.asarray(data)
+        vals, counts = np.unique(arr, return_counts=True)
+        mode = float(vals[np.argmax(counts)])
+        print("%s mean %2f, mode %2f, std %2f"
+              % (name, float(np.mean(arr)), mode, float(np.std(arr))))
+    return fig
