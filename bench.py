@@ -35,6 +35,8 @@ def main():
     p.add_argument("--mesh", type=int, default=0,
                    help="shard the env batch over N devices (dp axis); "
                         "0 = single device")
+    p.add_argument("--block_envs", type=int, default=0,
+                   help="Pallas block size override (0 = auto)")
     args = p.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -67,11 +69,14 @@ def main():
     def measure(n_envs, mesh=None):
         """Best-of-repeats env-steps/s for an n_envs batch (optionally
         sharded over a dp mesh)."""
+        kw = ({"block_envs": args.block_envs}
+              if args.block_envs and core == "pallas" else {})
         if core == "pallas" and mesh is not None:
             from traffic_env_tpu.envs.rollout import make_pallas_batched_env
-            benv = make_pallas_batched_env(topo, cfg, n_envs, mesh=mesh)
+            benv = make_pallas_batched_env(topo, cfg, n_envs, mesh=mesh,
+                                           **kw)
         else:
-            benv = make_batched_env(topo, cfg, n_envs, core=core)
+            benv = make_batched_env(topo, cfg, n_envs, core=core, **kw)
         state = benv.init(jax.random.key(0))
         state, _ = benv.reset(state)
         if mesh is not None:
