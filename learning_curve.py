@@ -53,6 +53,7 @@ def main():
     p.add_argument("--num_envs", type=int, default=4096)
     p.add_argument("--grid", type=int, default=3)
     p.add_argument("--conv_gru", action="store_true")
+    p.add_argument("--occupancy_obs", action="store_true")
     p.add_argument("--mesh_shape", type=str, default="")
     p.add_argument("--learning_rate", type=float, default=5e-4)
     p.add_argument("--gamma", type=float, default=0.8)
@@ -84,6 +85,7 @@ def main():
     cfg = Config(
         trainer=args.trainer, grid_m=args.grid, grid_n=args.grid,
         num_envs=args.num_envs, conv_gru=args.conv_gru,
+        occupancy_obs=args.occupancy_obs,
         mesh_shape=args.mesh_shape, learning_rate=args.learning_rate,
         gamma=args.gamma, lam=args.lam,
         batch_size=batch, buffer_size=args.buffer_size,

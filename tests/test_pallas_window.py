@@ -241,3 +241,40 @@ def test_pallas_validate_trip_hist_matches_fast():
             np.asarray(sf.sim.trip_hist), np.asarray(sp.sim.trip_hist),
             err_msg=f"trip_hist step {t}")
     assert int(np.asarray(sf.sim.trip_hist).sum()) > 0
+
+
+def test_occupancy_obs_extension_parity():
+    """--occupancy_obs appends normalized per-road occupancy to the
+    observation; the Pallas path (appended outside the kernel) must be
+    bit-identical to the fast core's in-step append, and the tail must
+    equal cars_per_road/18."""
+    from traffic_env_tpu.envs.rollout import make_batched_env
+    topo, cfg = setup(occupancy_obs=True)
+    seeds = list(range(8))
+    sched = jax.tree.map(jnp.asarray, build_batched_schedule(
+        topo, cfg, seeds, 16 * cfg.light_iterations, 8))
+    kw = dict(on_device_spawns=False)
+    fast = make_batched_env(topo, cfg, B, core="fast", **kw)
+    pal = make_batched_env(topo, cfg, B, core="pallas", block_envs=B,
+                           interpret=True, **kw)
+    assert fast.env.obs_dim == 2 * 36 + 9 + 36
+    sf = fast.init(jax.random.key(5))
+    sp = jax.tree.map(lambda a: a, sf)
+    sf, of = fast.reset(sf, sched)
+    sp, op = pal.reset(sp, sched)
+    np.testing.assert_array_equal(np.asarray(of), np.asarray(op))
+    rng = np.random.RandomState(3)
+    f_step = jax.jit(lambda s, a: fast.step(s, a, sched))
+    p_step = jax.jit(lambda s, a: pal.step(s, a, sched))
+    for t in range(10):
+        a = jnp.asarray(rng.randint(2, size=(9, B)).astype(np.int32))
+        sf, of, rf, df, _ = f_step(sf, a)
+        sp, op, rp, dp, _ = p_step(sp, a)
+        np.testing.assert_array_equal(np.asarray(of), np.asarray(op),
+                                      err_msg=f"obs step {t}")
+        occ = (np.asarray(sf.sim.lastcar) - np.asarray(sf.sim.leading)) \
+            % 19
+        newest = np.asarray(of)[-1]      # obs is a history stack
+        np.testing.assert_allclose(
+            newest[-36:], occ[:36].astype(np.float32) / 18.0)
+    assert int(occ.sum()) > 0

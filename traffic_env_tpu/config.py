@@ -104,6 +104,11 @@ class Config:
 
     # -- TPU-native additions ---------------------------------------------
     env_name: str = "traffic"       # traffic | cartpole (the §4 fixture)
+    occupancy_obs: bool = False     # append per-road occupancy to obs
+                                    # (TPU-native extension: the signal
+                                    # the scripted greedy reads via
+                                    # cars_on_roads; off = reference
+                                    # observation parity)
     num_envs: int = 1024            # lockstep env batch size
     seed: int = 0
     exact: bool = False             # bit-exact parity mode (host spawn streams)

@@ -30,6 +30,7 @@ import numpy as np
 from flax import struct
 
 from ..config import Config
+from ..constants import RING
 from ..spaces import GSpace
 from ..topology import GridRoad
 from .core import make_sim
@@ -114,7 +115,7 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
                        handoff=core)
         init_sim = lambda key: init_state(topo, key)
     Rt, I = topo.train_roads, topo.intersections
-    obs_dim = 2 * Rt + I
+    obs_dim = 2 * Rt + I + (Rt if cfg.occupancy_obs else 0)
     k_hist = max(int(cfg.history), 1)
     reward_size = 1 if cfg.squish_rewards else I
     validate = cfg.mode == "validate"
@@ -154,11 +155,19 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
         (sim, done, acc_passed, tot_rew), _ = jax.lax.scan(
             body, init, None, length=cfg.light_iterations)
         mult = (2 * sim.phase - 1).astype(F32)
-        obs = jnp.concatenate([
+        parts = [
             acc_passed.astype(F32),
             sim.detected.astype(F32),
             sim.elapsed.astype(F32) * F32(0.01) * mult,
-        ])
+        ]
+        if cfg.occupancy_obs:
+            # --occupancy_obs extension: normalized cars-per-road for
+            # the training roads (the greedy baseline's decision
+            # signal, traffic_env.py:214-218 / greedy.py:16), appended
+            # after the reference observation
+            occ = ((sim.lastcar - sim.leading) % RING)[:Rt]
+            parts.append(occ.astype(F32) * F32(1.0 / (RING - 1)))
+        obs = jnp.concatenate(parts)
         return sim, obs, tot_rew, done, light_secs
 
     def shaped_step(sim: SimState, action, sched):

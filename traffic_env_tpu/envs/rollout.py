@@ -209,6 +209,14 @@ def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
 
     def shaped(state: EnvState, action, sched, kern):
         sim, obs, rew, done, light_secs = kern(state.sim, action, sched)
+        if cfg.occupancy_obs:
+            # --occupancy_obs extension (see envs/env.py repeater_step):
+            # appended outside the kernel from the returned ring indices
+            from ..constants import RING
+            occ = ((sim.lastcar - sim.leading) % RING)[:Rt]
+            obs = jnp.concatenate(
+                [obs, occ.astype(jnp.float32)
+                 * jnp.float32(1.0 / (RING - 1))])
         if cfg.remi:
             sim, rew = remi_b(sim)
         if cfg.local_weight > 1:

@@ -156,21 +156,25 @@ class ConvGRUA3CNet(nn.Module):
     def __call__(self, obs, initial_state=None):
         # obs (batch, time, obs_dim) with obs_dim = 8*m*n + m*n:
         # per-road passed/detected (4 dirs x 2) + per-intersection phase
-        # feature — rearranged into (m, n, 9) columns.
+        # feature — rearranged into (m, n, 9) columns; with
+        # --occupancy_obs four more per-direction occupancy channels
+        # follow (13 columns).
         b, t = obs.shape[0], obs.shape[1]
         v = self.m * self.n
-        feats = 9
         x = obs.reshape((b, t, -1))
 
         def to_grid(flat):
-            passed = flat[..., :4 * v].reshape((b, t, 4, self.m, self.n))
-            detected = flat[..., 4 * v:8 * v].reshape((b, t, 4, self.m, self.n))
-            phase = flat[..., 8 * v:9 * v].reshape((b, t, 1, self.m, self.n))
-            g = jnp.concatenate([passed, detected, phase], axis=2)
-            return jnp.moveaxis(g, 2, -1)  # (b, t, m, n, 9)
+            def block(lo, n_dirs):
+                return flat[..., lo * v:(lo + n_dirs) * v].reshape(
+                    (b, t, n_dirs, self.m, self.n))
+            chans = [block(0, 4), block(4, 4), block(8, 1)]
+            if flat.shape[-1] >= 13 * v:
+                chans.append(block(9, 4))
+            g = jnp.concatenate(chans, axis=2)
+            return jnp.moveaxis(g, 2, -1)  # (b, t, m, n, 9 or 13)
 
-        grid = to_grid(x[..., :9 * v]) if x.shape[-1] >= 9 * v else \
-            jnp.zeros((b, t, self.m, self.n, feats))
+        grid = to_grid(x) if x.shape[-1] >= 9 * v else \
+            jnp.zeros((b, t, self.m, self.n, 9))
         cell = ConvGRUCell(self.hidden_channels)
         if initial_state is None:
             initial_state = jnp.zeros(
