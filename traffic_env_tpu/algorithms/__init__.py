@@ -15,6 +15,12 @@ _LEARNERS = ("qlearn", "qrnn", "a3c", "polgrad_rnn", "cem")
 def run_alg(cfg: Config):
     """Dynamic dispatch on --trainer (alg_flags.py:46-49)."""
     name = cfg.trainer
+    if cfg.platform:
+        # must land before backend init; env vars are not enough here
+        # because platform plugins may rewrite them at interpreter
+        # start (e.g. a site customization pinning its own backend)
+        import jax
+        jax.config.update("jax_platforms", cfg.platform)
     if cfg.num_processes > 1:
         # multi-host bring-up BEFORE any backend touch: after this,
         # jax.devices() spans every process and --mesh_shape can name

@@ -114,6 +114,8 @@ class Config:
     exact: bool = False             # bit-exact parity mode (host spawn streams)
     conv_gru: bool = False          # grid-shaped ConvGRU policy for a3c
     mesh_shape: str = ""            # e.g. "8" or "4,2" -> (dp, mp)
+    platform: str = ""              # force a JAX platform (cpu | tpu);
+                                    # applied before backend init
     coordinator: str = ""           # multi-host: coordinator host:port
     num_processes: int = 0          # multi-host: process count (0 = single)
     process_id: int = 0             # multi-host: this process's index

@@ -49,6 +49,29 @@ def batch_sharding(mesh: Mesh, leaf) -> NamedSharding:
     return NamedSharding(mesh, spec)
 
 
+def _global_put(leaf, sharding: NamedSharding):
+    """Place a host/local value under ``sharding``, working on
+    multi-process meshes too.
+
+    Single-process meshes use plain device_put.  On a multi-process
+    mesh, device_put cannot target non-addressable devices: sharded
+    leaves are assembled per-shard with
+    make_array_from_single_device_arrays (every process passes the
+    same full value — init is seed-deterministic — and contributes its
+    local shards); fully-replicated leaves are returned as-is, which
+    multi-process jit treats as replicated-by-convention."""
+    pidx = jax.process_index()
+    if all(d.process_index == pidx for d in sharding.device_set):
+        return jax.device_put(leaf, sharding)
+    if all(p is None for p in sharding.spec):
+        return leaf
+    arr = np.asarray(leaf)
+    idx_map = sharding.addressable_devices_indices_map(arr.shape)
+    shards = [jax.device_put(arr[idx], d) for d, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(
+        arr.shape, sharding, shards)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -57,7 +80,7 @@ def shard_env_state(mesh: Mesh, tree):
     """Place a batched env/train-state pytree: batch-trailing leaves on
     dp, scalars and parameters replicated."""
     def place(leaf):
-        return jax.device_put(leaf, batch_sharding(mesh, leaf))
+        return _global_put(leaf, batch_sharding(mesh, leaf))
     return jax.tree.map(place, tree)
 
 
@@ -70,7 +93,7 @@ def row_sharding(mesh: Mesh, leaf) -> NamedSharding:
 
 def shard_rows(mesh: Mesh, tree):
     return jax.tree.map(
-        lambda l: jax.device_put(l, row_sharding(mesh, l)), tree)
+        lambda l: _global_put(l, row_sharding(mesh, l)), tree)
 
 
 def shard_train_state(mesh: Mesh, ts):
@@ -97,14 +120,15 @@ def shard_train_state(mesh: Mesh, ts):
                 def place(l):
                     spec = (P(*([None, "dp"] + [None] * (l.ndim - 2)))
                             if l.ndim >= 2 else P())
-                    return jax.device_put(l, NamedSharding(mesh, spec))
+                    return _global_put(l, NamedSharding(mesh, spec))
                 updates[f.name] = jax.tree.map(place, val)
             else:
                 updates[f.name] = shard_rows(mesh, val)
         elif f.name == "gru":
             updates[f.name] = shard_rows(mesh, val)
         else:
-            updates[f.name] = jax.device_put(val, replicated(mesh))
+            updates[f.name] = jax.tree.map(
+                lambda l: _global_put(l, replicated(mesh)), val)
     return ts.replace(**updates)
 
 
@@ -112,7 +136,8 @@ def shard_params(mesh: Mesh, params, axis: Optional[str] = None):
     """Replicate parameters (dp) or shard Dense kernels' output dim on
     mp when a model axis exists."""
     if axis is None or "mp" not in mesh.axis_names:
-        return jax.device_put(params, replicated(mesh))
+        return jax.tree.map(
+            lambda l: _global_put(l, replicated(mesh)), params)
 
     def place(leaf):
         if leaf.ndim == 2:       # Dense kernel (in, out) -> shard out

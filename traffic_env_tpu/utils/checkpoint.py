@@ -48,10 +48,24 @@ class Checkpointer:
         return os.path.join(self.logdir, f"{name}{sfx}")
 
     def save(self, state, name: str = "model.ckpt", step=None):
+        state = _host_state(state)
+        primary = jax.process_index() == 0
+        multihost = jax.process_count() > 1
         path = self._path(name, step)
+        if multihost and not primary:
+            # orbax's sync checkpointer barriers across processes, so
+            # every process must participate in the save; non-primary
+            # processes write to a scratch path that is discarded
+            # (process 0 owns the real checkpoint — the gathered host
+            # state is identical everywhere)
+            path = os.path.join(self.logdir,
+                                f".scratch-{jax.process_index()}")
         if os.path.exists(path):
             shutil.rmtree(path)
-        self._ck.save(path, jax.device_get(state))
+        self._ck.save(path, state)
+        if multihost and not primary:
+            shutil.rmtree(path, ignore_errors=True)
+            return None
         # keep a 'latest' pointer
         with open(os.path.join(self.logdir, f"{name}.latest"), "w") as f:
             f.write(os.path.basename(path))
@@ -79,6 +93,32 @@ class Checkpointer:
             if migrated is None:
                 raise
             return _fill_like(tpl, migrated)
+
+
+def _host_state(state):
+    """Materialize a train state on the host.  Leaves sharded across
+    processes cannot be device_get directly; they are allgathered
+    (collective — every process must call this) so each host holds the
+    full value."""
+    import jax.numpy as jnp
+    multihost = jax.process_count() > 1
+
+    def fetch(leaf):
+        is_key = (hasattr(leaf, "dtype")
+                  and jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key))
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            if is_key:
+                # multihost serialization wants plain host numpy, so
+                # keys persist as their raw uint32 data; restore's
+                # schema-migration path re-wraps them
+                return multihost_utils.process_allgather(
+                    jax.random.key_data(leaf), tiled=True)
+            return multihost_utils.process_allgather(leaf, tiled=True)
+        if multihost and is_key:
+            return jax.device_get(jax.random.key_data(leaf))
+        return jax.device_get(leaf)
+    return jax.tree.map(fetch, state)
 
 
 class _FreshReplay:
