@@ -211,8 +211,12 @@ def make_state(cfg: Config):
     import numpy as np
     obs_dim = int(np.prod(benv.env.observation_space.shape))
     params = net.init(k_net, jnp.zeros((1, 1, obs_dim), F32))
-    # episode replay sized in episodes; keep device memory bounded
-    n_slots = max(cfg.batch_size, min(cfg.buffer_size, 512))
+    # episode replay sized in episodes: at least the env batch (else a
+    # whole-batch insert keeps only a rotating subset and discards the
+    # rest of the collected experience), bounded by buffer_size; a 4096
+    # x 121-step x obs-dim store is ~180 MB — fine in HBM
+    n_slots = max(cfg.batch_size,
+                  min(cfg.buffer_size, max(512, benv.n_envs)))
     ts = QRnnTS(
         params_main=params, params_chooser=params, params_target=params,
         opt_state=tx.init(params),
