@@ -137,10 +137,11 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
         in_refs = refs[:n]
         out_refs = refs[n:n + n]
         if emit_trips:
-            (acc_passed_ref, rew_sum_ref, last_rew_ref,
-             trips_ref) = refs[n + n:]
+            (acc_passed_ref, rew_sum_ref, last_rew_ref, last_passed_ref,
+             light_ref, trips_ref) = refs[n + n:]
         else:
-            acc_passed_ref, rew_sum_ref, last_rew_ref = refs[n + n:]
+            (acc_passed_ref, rew_sum_ref, last_rew_ref,
+             last_passed_ref) = refs[n + n:]
 
         (x, v, wrow, leading, lastcar, phase, elapsed, waiting, detected,
          passed_dst, gap_state, steps, gtick, done) = [
@@ -208,9 +209,18 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             phase = jnp.where(rs2, rphase, phase)
             done = jnp.where(rs2, 0, done)
 
+        if emit_trips:
+            # validate-mode light_times, computed AFTER the lazy-reset
+            # block so resurrected lanes report their fresh phase, like
+            # the fast path's reset-then-step (env.py repeater_step);
+            # same formula as the Repeater (traffic_test.py:41-47)
+            change0 = (phase != action).astype(I32)
+            light_ref[:] = ((elapsed + 1) * change0).astype(F32) * F32(0.5)
+
         acc_passed = jnp.zeros((Rt, Bb), I32)
         rew_sum = jnp.zeros((I, Bb), F32)
         last_rew = jnp.zeros((I, Bb), F32)
+        last_passed = jnp.zeros((Rt, Bb), I32)
 
         def d_from(idx):
             # slots3, idx in [0, S): the wrap is one conditional fold,
@@ -513,6 +523,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             steps = jnp.where(lm, steps + 1, steps)
             gtick = jnp.where(lm, gtick + 1, gtick)
             acc_passed = acc_passed + jnp.where(lm, passed, 0)
+            last_passed = jnp.where(lm, passed, last_passed)
             rew_live = jnp.where(lm, rewards, F32(0))
             rew_sum = rew_sum + rew_live
             last_rew = jnp.where(lm, rewards, last_rew)
@@ -526,6 +537,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
         acc_passed_ref[:] = acc_passed
         rew_sum_ref[:] = rew_sum
         last_rew_ref[:] = last_rew
+        last_passed_ref[:] = last_passed
 
     # ------------------------------------------------------------------
     def window(state: dict, action, spawn_rows=None):
@@ -557,12 +569,14 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                   jnp.asarray(dest1h), jnp.asarray(flags)]
         extra_shapes = [jax.ShapeDtypeStruct((Rt, B), I32),
                         jax.ShapeDtypeStruct((I, B), F32),
-                        jax.ShapeDtypeStruct((I, B), F32)]
-        extra_specs = [bspec((Rt, B)), bspec((I, B)), bspec((I, B))]
+                        jax.ShapeDtypeStruct((I, B), F32),
+                        jax.ShapeDtypeStruct((Rt, B), I32)]
+        extra_specs = [bspec((Rt, B)), bspec((I, B)), bspec((I, B)),
+                       bspec((Rt, B))]
         if emit_trips:
-            extra_shapes.append(
-                jax.ShapeDtypeStruct((W * Kc, R, B), I32))
-            extra_specs.append(bspec((W * Kc, R, B)))
+            extra_shapes += [jax.ShapeDtypeStruct((I, B), F32),
+                             jax.ShapeDtypeStruct((W * Kc, R, B), I32)]
+            extra_specs += [bspec((I, B)), bspec((W * Kc, R, B))]
         out_shapes = ([jax.ShapeDtypeStruct(l.shape, l.dtype)
                        for l in leaves] + extra_shapes)
         out_specs = [bspec(l.shape) for l in leaves] + extra_specs
@@ -582,9 +596,11 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
         )(action, spawn_rows, *consts, *leaves)
         new_state = dict(zip(STATE_KEYS, outs[:len(STATE_KEYS)]))
         extras = outs[len(STATE_KEYS):]
-        acc_passed, rew_sum, last_rew = extras[:3]
-        trips = extras[3] if emit_trips else None
-        return new_state, acc_passed, rew_sum, last_rew, trips
+        acc_passed, rew_sum, last_rew, last_passed = extras[:4]
+        light = extras[4] if emit_trips else None
+        trips = extras[5] if emit_trips else None
+        return (new_state, acc_passed, rew_sum, last_rew, last_passed,
+                light, trips)
 
     return window
 
@@ -659,15 +675,19 @@ def make_repeater_window(topo: GridRoad, cfg: Config,
 
     def repeater_step(sim, action, sched=None):
         action = jnp.asarray(action).astype(I32)
-        light_secs = None
-        if validate:
-            change = jnp.logical_xor(sim.phase, action).astype(I32)
-            light_secs = ((sim.elapsed + 1) * change).astype(F32) / 2
         rows = None
         if not on_device_spawns:
             rows = build_spawn_rows(sched, sim.global_tick, W, Ks, topo)
-        d, acc_passed, rew_sum, last_rew, trips = window(
-            sim_to_dict(sim), action, rows)
+        (d, acc_passed, rew_sum, last_rew, last_passed, light_secs,
+         trips) = window(sim_to_dict(sim), action, rows)
+        if autoreset:
+            # resurrected lanes ran the window: kernel values are live
+            passed_new, rew_new = last_passed, last_rew
+        else:
+            # entry-frozen lanes never tick: keep their stale state,
+            # like the fast path's live-masked scan (env.py body)
+            passed_new = jnp.where(sim.done, sim.passed, last_passed)
+            rew_new = jnp.where(sim.done, sim.rewards, last_rew)
         if validate and sim.trip_hist is not None:
             # scatter the kernel's exit-pop events into the trip-time
             # histogram (XLA scatter-add; Mosaic has no scatter)
@@ -678,7 +698,7 @@ def make_repeater_window(topo: GridRoad, cfg: Config,
             th = sim.trip_hist.at[
                 binned, jnp.arange(B)[None, :]].add(valid)
             sim = sim.replace(trip_hist=th)
-        sim = dict_to_sim(sim, d, jnp.zeros_like(acc_passed), last_rew)
+        sim = dict_to_sim(sim, d, passed_new, rew_new)
         mult = (2 * sim.phase - 1).astype(F32)
         obs = jnp.concatenate([
             acc_passed.astype(F32),
