@@ -11,9 +11,10 @@ schedule-driven spawns, overflows, in-kernel lazy auto-resets, and
 validate-mode telemetry, asserting bit-equal obs/reward/done per window
 and a bit-equal final SimState.
 
-The fast-core twin of the kernel's lazy auto-reset applies
-``lazy_reset_phase`` (the kernel's deterministic schedule-mode phase
-rule) to done lanes before each window, exactly as
+Both sides run their production lazy-autoreset step: in schedule mode
+the fast core applies ``lazy_reset_phase`` (the kernel's deterministic
+schedule-mode phase rule) to done lanes before each window
+(envs/env.py step_autoreset_lazy), exactly as
 tests/test_pallas_window.py::test_inkernel_autoreset_matches_external_reset
 proves equivalent in interpreter mode.
 
@@ -65,9 +66,7 @@ def run_scenario(name, topo, cfg, n_envs, n_windows, actions_fn,
     import jax.numpy as jnp
     from traffic_env_tpu.envs import build_batched_schedule
     from traffic_env_tpu.envs.rollout import make_batched_env
-    from traffic_env_tpu.ops.pallas_window import lazy_reset_phase
 
-    I = topo.intersections
     seeds = [seed0 + i for i in range(n_envs)]
     n_ticks = (n_windows + cfg.history + 4) * cfg.light_iterations
     sched = jax.tree.map(jnp.asarray, build_batched_schedule(
@@ -77,25 +76,16 @@ def run_scenario(name, topo, cfg, n_envs, n_windows, actions_fn,
     pal = make_batched_env(topo, cfg, n_envs, core="pallas",
                            block_envs=min(n_envs, 256),
                            interpret=interpret, **kw)
-    fns = fast.env.sim_fns
-
     sf = fast.init(jax.random.key(5))
     sp = jax.tree.map(lambda a: a, sf)
     sf, of = fast.reset(sf, sched)
     sp, op = pal.reset(sp, sched)
 
-    def fast_lazy_step(state, action):
-        # twin of the kernel's in-kernel lazy reset: done lanes get an
-        # empty sim with the deterministic hash phase before the window
-        sim = state.sim
-        ph = lazy_reset_phase(sim.global_tick, I)          # (I, B)
-        fresh = jax.vmap(fns.reset, in_axes=(-1, 0), out_axes=-1)(
-            sim, jnp.transpose(ph))
-        sim = jax.tree.map(lambda f, o: jnp.where(sim.done, f, o),
-                           fresh, sim)
-        return fast.step(state.replace(sim=sim), action, sched)
-
-    f_step = jax.jit(fast_lazy_step)
+    # the production fast-core lazy step: in schedule mode it applies
+    # the kernel's deterministic hash phase to done lanes
+    # (envs/env.py step_autoreset_lazy), so both sides run their real
+    # training code paths
+    f_step = jax.jit(lambda s, a: fast.step_autoreset_lazy(s, a, sched))
     p_step = jax.jit(lambda s, a: pal.step_autoreset_lazy(s, a, sched))
 
     rng = np.random.RandomState(7)

@@ -38,7 +38,8 @@ from flax import struct
 from ..config import Config
 from ..models import A3CNet, ConvGRUA3CNet
 from ..ops import gae
-from .common import build_env, handle_modes, validation_hook
+from .common import (build_env, handle_modes, refresh_schedule,
+                     validation_hook)
 from .exploration import anneal, sigmoid_decision, sigmoid_greedy
 
 F32 = jnp.float32
@@ -230,6 +231,7 @@ def train(cfg: Config, ctx: A3CCtx, ts: A3CTS, writer, ckpt):
     episode = int(ts.episode)
     try:
         while cfg.total_episodes is None or episode < cfg.total_episodes:
+            ts = refresh_schedule(ctx.benv, ts)
             ts, (loss, mean_r, pl, vl, ent) = ctx.run_episode(ts)
             episode = int(ts.episode)
             if episode % cfg.summary_rate == 0:
@@ -239,6 +241,7 @@ def train(cfg: Config, ctx: A3CCtx, ts: A3CTS, writer, ckpt):
                 writer.scalar("entropy_val", float(ent), episode)
                 writer.scalar("mean_reward", float(mean_r), episode)
             if episode % cfg.validate_rate == 0:
+                ts = refresh_schedule(ctx.benv, ts)
                 rew = float(ctx.greedy_episode(ts)[0])
                 validation_hook(cfg, ckpt, writer, best, episode, ts, rew)
             if episode % cfg.save_rate == 0:

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from .common import build_env
+from .common import build_env, refresh_env_schedule
 
 F32 = jnp.float32
 
@@ -96,6 +96,8 @@ def run(cfg: Config):
     means = []
     try:
         for it in range(N_ITER):
+
+            env = refresh_env_schedule(benv, env)
             ths = (rng.randn(SAMPLE_SIZE, *shape).astype(np.float32)
                    * th_std + th_mean)
             env, ys = evaluate(env, jnp.asarray(ths), key)

@@ -65,34 +65,80 @@ def build_env(cfg: Config, n_envs: int | None = None,
         # pre-window phase/elapsed and trip histograms from the
         # kernel's exit-pop event stream (ops/pallas_window.py)
         core = ("pallas" if on_tpu and (n // n_dp) % 128 == 0
-                and not cfg.exact else "fast")
+                else "fast")
     if cfg.exact:
-        # bit-exact parity mode: host-precomputed MT19937 arrival
-        # streams (spawn.py), bound transparently to the env surface.
-        # Sized for the full run; keep num_envs modest in this mode.
-        import jax.numpy as jnp
-        from ..envs.rollout import bind_schedule
-        from ..envs.spawn import build_batched_schedule
-        if cfg.total_episodes is None:
-            raise ValueError(
-                "--exact requires --total_episodes: the host arrival "
-                "schedule is materialized for the whole run, and an "
-                "unbounded run would silently replay its final tick")
-        n_eps = cfg.total_episodes + 4
-        ticks = n_eps * (cfg.episode_ticks
-                         + (cfg.warmup_lights + cfg.history + 1)
-                         * cfg.light_iterations)
-        sched = jax.tree.map(jnp.asarray, build_batched_schedule(
-            topo, cfg, [cfg.seed + i for i in range(n)], ticks, 8))
-        benv = make_batched_env(topo, cfg, n, core=core,
-                                on_device_spawns=False)
-        benv = bind_schedule(benv, sched)
+        # bit-exact parity mode: the reference's persistent per-env
+        # MT19937 arrival stream (traffic_env.py:159-176, 250-253) is
+        # replayed by a host ScheduleStream in O(chunk) windows, each
+        # carried through the train step inside EnvState.sched.  The
+        # throughput (Pallas) core runs this mode too — its
+        # schedule-driven spawn path is bit-exact vs the fast core
+        # (parity_tpu.py) — so exact soaks no longer pay the ~7x
+        # XLA-core slowdown or materialize the whole-run schedule.
+        from ..envs.spawn import ScheduleStream
+        W = cfg.light_iterations
+        # chunk covers one host-loop segment: an episode_len rollout
+        # plus every lazy reset it can contain (reset = 1 repeater
+        # window + warmup + history prefill), with 25% headroom
+        reset_w = cfg.warmup_lights + max(cfg.history, 1) + 2
+        n_resets = (cfg.episode_len * W) // max(cfg.episode_ticks, W) + 2
+        chunk = (cfg.episode_len + n_resets * reset_w) * W
+        chunk += chunk // 4 + 64
+        stream = ScheduleStream(topo, cfg,
+                                [cfg.seed + i for i in range(n)],
+                                chunk, max_per_tick=8)
+        kw = dict(on_device_spawns=False, max_spawns_per_tick=8)
+        if core == "pallas" and mesh is not None:
+            from ..envs.rollout import make_pallas_batched_env
+            benv = make_pallas_batched_env(topo, cfg, n, mesh=mesh, **kw)
+        else:
+            benv = make_batched_env(topo, cfg, n, core=core, **kw)
+        benv = attach_schedule_stream(benv, stream)
     elif core == "pallas" and mesh is not None:
         from ..envs.rollout import make_pallas_batched_env
         benv = make_pallas_batched_env(topo, cfg, n, mesh=mesh)
     else:
         benv = make_batched_env(topo, cfg, n, core=core)
     return topo, cfg, benv._replace(mesh=mesh)
+
+
+def attach_schedule_stream(benv: BatchedEnv, stream) -> BatchedEnv:
+    """Exact-mode wiring: ``init`` attaches the stream's first window
+    (base tick 0) to EnvState.sched so the very first reset/warmup
+    already consumes the chunked stream; the stream handle rides on the
+    BatchedEnv for refresh_schedule."""
+    import jax.numpy as jnp
+
+    def init(key):
+        state = benv.init(key)
+        sched = jax.tree.map(jnp.asarray, stream.window(
+            np.zeros(stream.n_envs, np.int64)))
+        return state.replace(sched=sched)
+
+    return benv._replace(init=init, sched_stream=stream)
+
+
+def refresh_env_schedule(benv, env):
+    """Advance the exact-mode arrival window to cover the next
+    host-loop segment (one episode + its resets; chunk sized in
+    build_env).  A no-op without --exact.  The new chunk has the same
+    shapes as the old, so the jitted episode never retraces."""
+    stream = getattr(benv, "sched_stream", None)
+    if stream is None or env is None or getattr(env, "sim", None) is None:
+        return env
+    import jax.numpy as jnp
+    gt = np.asarray(jax.device_get(env.sim.global_tick), np.int64)
+    sched = jax.tree.map(jnp.asarray, stream.window(gt))
+    return env.replace(sched=sched)
+
+
+def refresh_schedule(benv: BatchedEnv, ts):
+    """refresh_env_schedule over a train state carrying ``.env``.
+    Called at the top of every train-loop iteration and before each
+    validation episode."""
+    env = getattr(ts, "env", None)
+    new = refresh_env_schedule(benv, env)
+    return ts if new is env else ts.replace(env=new)
 
 
 def handle_modes(cfg: Config, make_state: Callable, train: Callable,
@@ -137,6 +183,7 @@ def handle_modes(cfg: Config, make_state: Callable, train: Callable,
         box = [state]
 
         def _one():
+            box[0] = refresh_schedule(getattr(ctx, "benv", None), box[0])
             out = validate(cfg, ctx, box[0])
             # learners return (reward, info, advanced_state) so
             # consecutive validation episodes see fresh env state

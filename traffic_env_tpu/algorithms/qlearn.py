@@ -31,7 +31,8 @@ from flax import struct
 
 from ..config import Config
 from ..models import QNet
-from .common import build_env, handle_modes, validation_hook
+from .common import (build_env, handle_modes, refresh_schedule,
+                     validation_hook)
 from .exploration import exploration_param, softmax_decision
 from .replay import FrameReplay
 
@@ -247,6 +248,7 @@ def train(cfg: Config, ctx: QLearnCtx, ts: QLearnTS, writer, ckpt):
     episode = int(ts.episode)
     try:
         while cfg.total_episodes is None or episode < cfg.total_episodes:
+            ts = refresh_schedule(ctx.benv, ts)
             ts, (mean_r, loss, max_q, gnorm) = ctx.run_episode(ts)
             episode = int(ts.episode)
             if episode % cfg.summary_rate == 0:
@@ -259,6 +261,7 @@ def train(cfg: Config, ctx: QLearnCtx, ts: QLearnTS, writer, ckpt):
                     writer.scalar("grad_global_norm", float(gnorm),
                                   episode)
             if episode % cfg.validate_rate == 0:
+                ts = refresh_schedule(ctx.benv, ts)
                 rew = float(ctx.greedy_episode(ts)[0])
                 validation_hook(cfg, ckpt, writer, best, episode, ts, rew)
             if episode % cfg.save_rate == 0:

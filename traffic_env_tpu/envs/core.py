@@ -130,8 +130,9 @@ def make_sim(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
     def _spawn_from_schedule(state: SimState, sched: SpawnSchedule):
         cars, leading, lastcar, rewards = (state.cars, state.leading,
                                            state.lastcar, state.rewards)
-        count = sched.counts[state.global_tick]
-        roads_row = sched.roads[state.global_tick]
+        t = state.global_tick - sched.base
+        count = sched.counts[t]
+        roads_row = sched.roads[t]
         car = archetype.at[W].set(state.steps.astype(F32))
         overflow = jnp.asarray(False)
         k = sched.roads.shape[-1]

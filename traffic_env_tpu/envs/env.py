@@ -44,6 +44,13 @@ I32 = jnp.int32
 class EnvState:
     sim: SimState
     history: jnp.ndarray  # f32[history, obs_dim] rolling window (history>=1)
+    # Exact-mode arrival window (SpawnSchedule chunk, spawn.py
+    # ScheduleStream): carried IN the state so it flows through jitted
+    # scans as a traced argument — a closure-bound schedule would be
+    # baked into the jaxpr as an O(run) constant and retrace on every
+    # refresh.  None outside --exact (and when a schedule is passed
+    # explicitly, as the parity tests do).
+    sched: object = None
 
 
 def _select(pred, new, old):
@@ -185,6 +192,7 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
 
     # ------------------------------------------------------------------
     def step(state: EnvState, action, sched=None):
+        sched = state.sched if sched is None else sched
         sim, obs, rew, done, light_secs = shaped_step(state.sim, action, sched)
         if k_hist > 1:
             history = jnp.roll(state.history, -1, axis=0).at[-1].set(obs)
@@ -193,7 +201,8 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
             history = obs[None]
             out = obs
         info = {"light_times": light_secs} if validate else None
-        return EnvState(sim=sim, history=history), out, rew, done, info
+        return EnvState(sim=sim, history=history,
+                        sched=state.sched), out, rew, done, info
 
     def reset(state: EnvState, sched=None, phase=None, actions=None):
         """Full stack reset.  ``phase`` and ``actions`` (the random
@@ -201,6 +210,7 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
         that order) may be host-provided for parity tests; otherwise
         they are drawn from the env's own PRNG key."""
         n_actions = 1 + cfg.warmup_lights + (k_hist - 1 if k_hist > 1 else 0)
+        sched = state.sched if sched is None else sched
         sim = state.sim
         if actions is None:
             key, k1, k2 = jax.random.split(
@@ -230,9 +240,10 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
             sim, rows = jax.lax.scan(
                 hbody, sim, actions[1 + cfg.warmup_lights:])
             history = jnp.concatenate([obs[None], rows], axis=0)
-            return EnvState(sim=sim, history=history), history
+            return EnvState(sim=sim, history=history,
+                            sched=state.sched), history
         history = obs[None]
-        return EnvState(sim=sim, history=history), obs
+        return EnvState(sim=sim, history=history, sched=state.sched), obs
 
     def step_autoreset(state: EnvState, action, sched=None):
         """Batched-training step: finished envs are reset in place (the
@@ -240,7 +251,12 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
         loop calling env.reset())."""
         new_state, obs, rew, done, info = step(state, action, sched)
         reset_state, reset_obs = reset(new_state, sched)
-        out_state = _select(done, reset_state, new_state)
+        # select sim/history only: both branches carry the identical
+        # sched chunk, and where()-copying it would dominate the step
+        out_state = new_state.replace(
+            sim=_select(done, reset_state.sim, new_state.sim),
+            history=jnp.where(done, reset_state.history,
+                              new_state.history))
         obs = jnp.where(done, reset_obs, obs)
         return out_state, obs, rew, done, info
 
@@ -251,8 +267,20 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
         the reference's extra random-action reset window.  Semantically
         a standard batched-RL reset approximation; use step_autoreset
         for reference-exact reset windows."""
+        sched = state.sched if sched is None else sched
         sim = state.sim
-        fresh = fns.reset(sim)
+        if sched is not None:
+            # schedule (--exact) mode: the reset phase comes from the
+            # same deterministic tick-hash the Pallas kernel's
+            # in-kernel lazy reset uses, so trajectories are
+            # bit-identical across cores and the PRNG key is never
+            # consumed (the host arrival stream is the only
+            # randomness in exact mode)
+            from ..ops.pallas_window import lazy_reset_phase
+            ph = lazy_reset_phase(sim.global_tick[None], I)[:, 0]
+            fresh = fns.reset(sim, ph)
+        else:
+            fresh = fns.reset(sim)
         sim = _select(sim.done, fresh, sim)
         return step(state.replace(sim=sim), action, sched)
 

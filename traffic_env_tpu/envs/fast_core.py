@@ -397,8 +397,9 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
                              spawn_gap=gap), ovf
 
     def spawn_schedule(state: SimState, sched: SpawnSchedule):
-        count = jnp.minimum(sched.counts[state.global_tick], Ks)
-        roads_row = sched.roads[state.global_tick]      # (K,)
+        t = state.global_tick - sched.base
+        count = jnp.minimum(sched.counts[t], Ks)
+        roads_row = sched.roads[t]                      # (K,)
         k = sched.roads.shape[-1]
         eidx = jnp.asarray(entry_index)[roads_row]
         rows = [jnp.arange(E) == eidx[j] for j in range(min(k, Ks))]

@@ -32,6 +32,7 @@ class BatchedEnv(NamedTuple):
     step_autoreset_lazy: callable
     n_intersections: int
     mesh: object = None    # jax.sharding.Mesh when --mesh_shape is set
+    sched_stream: object = None  # spawn.ScheduleStream in --exact mode
 
 
 def make_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
@@ -230,12 +231,15 @@ def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
             history = obs[None]
             out = obs
         info = {"light_times": light_secs} if validate else None
-        return EnvState(sim=sim, history=history), out, rew, done, info
+        return EnvState(sim=sim, history=history,
+                        sched=state.sched), out, rew, done, info
 
     def step(state, action, sched=None):
+        sched = state.sched if sched is None else sched
         return shaped(state, action, sched, rep)
 
     def step_autoreset_lazy(state, action, sched=None):
+        sched = state.sched if sched is None else sched
         return shaped(state, action, sched, rep_lazy)
 
     def step_autoreset(state, action, sched=None):
@@ -246,7 +250,10 @@ def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
         reset_state, reset_obs = xbenv.reset(new_state, sched) \
             if sched is not None else xbenv.reset(new_state)
         sel = lambda a, b: jnp.where(done, a, b)
-        out_state = jax.tree.map(sel, reset_state, new_state)
+        # sim/history only: both branches carry the identical sched
+        out_state = new_state.replace(
+            sim=jax.tree.map(sel, reset_state.sim, new_state.sim),
+            history=sel(reset_state.history, new_state.history))
         obs = jnp.where(done, reset_obs, obs)
         return out_state, obs, rew, done, info
 

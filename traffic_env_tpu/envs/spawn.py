@@ -18,6 +18,9 @@ Two spawn sources feed the simulator:
 
 from __future__ import annotations
 
+from collections import deque
+from itertools import islice
+
 import numpy as np
 
 from ..config import Config
@@ -50,7 +53,7 @@ def build_schedule(topo: GridRoad, cfg: Config, seed, ticks: int,
     roads = np.zeros((ticks, k), dtype=np.int32)
     for t, row in enumerate(rows):
         roads[t, :len(row)] = row
-    return SpawnSchedule(counts=counts, roads=roads)
+    return SpawnSchedule(counts=counts, roads=roads, base=np.int32(0))
 
 
 def build_batched_schedule(topo: GridRoad, cfg: Config, seeds,
@@ -61,4 +64,98 @@ def build_batched_schedule(topo: GridRoad, cfg: Config, seeds,
     return SpawnSchedule(
         counts=np.stack([s.counts for s in scheds], axis=-1),
         roads=np.stack([s.roads for s in scheds], axis=-1),
+        base=np.zeros(len(scheds), np.int32),
     )
+
+
+class ScheduleStream:
+    """O(chunk) generator of the whole-run arrival stream.
+
+    The reference draws arrivals from one persistent ``RandomState`` per
+    env for the entire run (traffic_env.py:159-176, 250-253); a
+    bit-exact soak therefore needs the *whole-run* stream, which used to
+    be materialized up front (O(run) host+device memory).  This stream
+    instead keeps one oracle spawner per env — with its live MT19937 —
+    plus a rolling buffer of not-yet-consumed ticks, and
+    :meth:`window` materializes a fixed-shape :class:`SpawnSchedule`
+    chunk covering ``[gtick_i, gtick_i + chunk)`` for each env.
+
+    Chunk shapes are constant across calls, so rebinding a fresh window
+    into the (jitted) train step never retraces.  Requested ticks must
+    be monotonically non-decreasing per env (re-reading the current
+    window is fine — validation rollouts that are later discarded
+    re-request the same base).  Generation from tick 0 is deterministic
+    in the seeds, so a fresh stream after ``--restore`` fast-forwards by
+    regenerating (O(run) time once, O(chunk) memory).
+    """
+
+    def __init__(self, topo: GridRoad, cfg: Config, seeds,
+                 chunk_ticks: int, max_per_tick: int = 8):
+        self.topo = topo
+        self.chunk = int(chunk_ticks)
+        self.k = int(max_per_tick)
+        spawner_cls = PoissonSpawner if cfg.poisson else RegularSpawner
+        self._sp = [spawner_cls(np.random.RandomState(s),
+                                cfg.cars_per_sec, cfg.rate)
+                    for s in seeds]
+        n = len(self._sp)
+        self._next = np.zeros(n, np.int64)   # first ungenerated tick
+        self._base = np.zeros(n, np.int64)   # absolute tick of buf[0]
+        self._buf: list[deque] = [deque() for _ in range(n)]
+        # overrun detection only applies once a window has been served;
+        # the first request may fast-forward arbitrarily (restore)
+        self._served = np.zeros(n, bool)
+
+    @property
+    def n_envs(self) -> int:
+        return len(self._sp)
+
+    def window(self, gticks) -> SpawnSchedule:
+        """Materialize the chunk ``[gtick_i, gtick_i + chunk)`` per env
+        (trailing batch axis, ``base=gticks``)."""
+        gticks = np.atleast_1d(np.asarray(gticks, np.int64))
+        B = len(self._sp)
+        assert gticks.shape == (B,), gticks.shape
+        counts = np.zeros((self.chunk, B), np.int32)
+        roads = np.zeros((self.chunk, self.k, B), np.int32)
+        for i in range(B):
+            g = int(gticks[i])
+            if g < self._base[i]:
+                raise ValueError(
+                    f"env {i}: schedule tick {g} already consumed "
+                    f"(stream at {int(self._base[i])}); the stream is "
+                    "forward-only — rebuild it to rewind")
+            if self._served[i] and g > self._base[i] + self.chunk:
+                # on-device indexing clamps at the window edge, so a
+                # segment that outran its chunk silently replayed the
+                # final tick — corrupt data, fail loudly
+                raise RuntimeError(
+                    f"env {i}: tick {g} is past the previous window "
+                    f"[{int(self._base[i])}, "
+                    f"{int(self._base[i]) + self.chunk}); a host-loop "
+                    "segment consumed more ticks than chunk_ticks — "
+                    "refresh more often or enlarge the chunk")
+            while self._base[i] < g:
+                if self._buf[i]:
+                    self._buf[i].popleft()
+                else:
+                    # fast-forward past never-materialized ticks: the
+                    # spawner must still be *consumed* per tick so the
+                    # MT19937 stream stays aligned with the reference
+                    self._sp[i].tick(self.topo.entrypoints)
+                    self._next[i] += 1
+                self._base[i] += 1
+            while self._next[i] < g + self.chunk:
+                arrivals = self._sp[i].tick(self.topo.entrypoints)
+                if len(arrivals) > self.k:
+                    raise AssertionError(
+                        f"schedule burst {len(arrivals)} exceeds "
+                        f"max_per_tick={self.k}")
+                self._buf[i].append([road for road, _ in arrivals])
+                self._next[i] += 1
+            self._served[i] = True
+            for t, row in enumerate(islice(self._buf[i], self.chunk)):
+                counts[t, i] = len(row)
+                roads[t, :len(row), i] = row
+        return SpawnSchedule(counts=counts, roads=roads,
+                             base=gticks.astype(np.int32))

@@ -55,11 +55,14 @@ class SimState:
 class SpawnSchedule:
     """Host-precomputed arrival stream (bit-exact parity mode).
 
-    Indexed by ``SimState.global_tick`` so the stream persists across
-    episode resets exactly like the reference's generator
-    (traffic_env.py:250-253)."""
+    Indexed by ``SimState.global_tick - base`` so the stream persists
+    across episode resets exactly like the reference's generator
+    (traffic_env.py:250-253).  ``base`` is the absolute tick of row 0:
+    0 for whole-run schedules; the chunk offset when a ScheduleStream
+    (spawn.py) materializes the stream in O(chunk) windows."""
     counts: jnp.ndarray      # i32[T] cars arriving at each tick
     roads: jnp.ndarray       # i32[T, K] entry road ids (row-padded with 0)
+    base: jnp.ndarray | int = 0   # absolute tick of row 0 (per-env when batched)
 
 
 def init_state(topo: GridRoad, key) -> SimState:

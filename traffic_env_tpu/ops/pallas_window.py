@@ -639,7 +639,7 @@ def build_spawn_rows(sched, gtick, W: int, Ks: int, topo: GridRoad):
     B = gtick.shape[0]
     rows = []
     for w in range(W):
-        t = gtick + w
+        t = gtick + w - sched.base
         cnt = jnp.take_along_axis(sched.counts, t[None, :], axis=0)[0]
         r = jnp.take_along_axis(
             sched.roads, t[None, None, :].repeat(K, axis=1), axis=0)[0]
