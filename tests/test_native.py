@@ -25,7 +25,7 @@ def test_native_matches_oracle_long():
     nsim.reset(phase)
     for t in range(2000):
         a = rng.randint(2, size=9).astype(np.int32) if t % 10 == 0 else a
-        roads = [r for r, _ in spawner.tick(topo.entrypoints)]
+        roads = [r for r, _, _ in spawner.tick(topo.entrypoints)]
         obs_n, rew_n, done_n, _ = nsim.step(a, roads)
         # drive the oracle with the same explicit arrival list
         obs_o, rew_o, done_o = _oracle_step_with(oracle, a, roads)
@@ -83,7 +83,7 @@ def test_native_remi_and_occupancy():
     a = np.zeros(4, np.int32)
     for t in range(150):
         a[:] = (t // 25) % 2
-        roads = [r for r, _ in spawner.tick(topo.entrypoints)]
+        roads = [r for r, _, _ in spawner.tick(topo.entrypoints)]
         nsim.step(a, roads)
         _oracle_step_with(oracle, a, roads)
     np.testing.assert_array_equal(oracle.cars_per_road(),

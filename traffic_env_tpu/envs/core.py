@@ -75,7 +75,8 @@ class SimFns(NamedTuple):
 def make_sim(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
              max_spawns_per_tick: int = 8, handoff: str = "exact",
              max_crossings_per_tick: int = 3,
-             _bench_phases: frozenset | None = None) -> SimFns:
+             _bench_phases: frozenset | None = None,
+             archetypes: np.ndarray | None = None) -> SimFns:
     """``handoff`` selects the car-transfer kernel:
 
     * ``"exact"`` — road-index-ordered fori/while nest, bit-exact vs
@@ -101,7 +102,15 @@ def make_sim(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
     nxt_t = topo.nxt[:Rt]                  # i32[Rt], always >= 0
     entrypoints = topo.entrypoints         # i32[E]
     train_ids = np.arange(Rt)
-    archetype = jnp.asarray(ARCHETYPES[0])
+    arch_np = (ARCHETYPES if archetypes is None
+               else np.asarray(archetypes, np.float32))
+    k_arch = arch_np.shape[0]
+    # delta == 4 for every archetype: the IDM below uses two explicit
+    # squarings (IEEE-exact) instead of pow(); see _integrate
+    assert np.all(arch_np[:, DELTA] == 4.0), \
+        "exact core requires delta == 4 in every archetype"
+    arch_tab = jnp.asarray(arch_np)                    # (k, NPARAMS)
+    archetype = arch_tab[0]
 
     # ------------------------------------------------------------------
     # add_car: masked ring-buffer push (traffic_env.py:96-114)
@@ -133,11 +142,17 @@ def make_sim(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
         t = state.global_tick - sched.base
         count = sched.counts[t]
         roads_row = sched.roads[t]
-        car = archetype.at[W].set(state.steps.astype(F32))
+        car0 = archetype.at[W].set(state.steps.astype(F32))
+        if k_arch > 1:
+            assert sched.aidx is not None, \
+                "k>1 archetypes need schedule aidx (spawn.build_schedule)"
+            aidx_row = sched.aidx[t]
         overflow = jnp.asarray(False)
         k = sched.roads.shape[-1]
         for j in range(k):
             en = j < count
+            car = (car0 if k_arch == 1 else
+                   arch_tab[aidx_row[j]].at[W].set(state.steps.astype(F32)))
             cars, lastcar, rewards, ovf = _add_car(
                 cars, leading, lastcar, rewards, roads_row[j], car, en)
             overflow |= ovf
@@ -154,7 +169,7 @@ def make_sim(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
                                            state.lastcar, state.rewards)
         key = jax.random.wrap_key_data(state.key)
         gap = state.spawn_gap
-        car = archetype.at[W].set(state.steps.astype(F32))
+        car0 = archetype.at[W].set(state.steps.astype(F32))
         overflow = jnp.asarray(False)
         # Lazily draw the first gap, like the reference generator.
         key, sub = jax.random.split(key)
@@ -167,6 +182,15 @@ def make_sim(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
             en = gap == 0
             road = jnp.asarray(entrypoints)[
                 jax.random.randint(k1, (), 0, len(entrypoints))]
+            if k_arch == 1:
+                car = car0
+            else:
+                # per-car archetype draw (traffic_env.py:164); a fourth
+                # subkey only in the k>1 table so the k==1 threefry
+                # sequence — and its cross-core parity — is unchanged
+                key, k3 = jax.random.split(key)
+                ai = jax.random.randint(k3, (), 0, k_arch)
+                car = arch_tab[ai].at[W].set(state.steps.astype(F32))
             cars, lastcar, rewards, ovf = _add_car(
                 cars, leading, lastcar, rewards, road, car, en)
             overflow |= ovf

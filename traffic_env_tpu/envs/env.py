@@ -104,22 +104,29 @@ class EnvFns(NamedTuple):
 
 
 def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
-             max_spawns_per_tick: int = 8, core: str = "exact") -> EnvFns:
+             max_spawns_per_tick: int = 8, core: str = "exact",
+             archetypes=None) -> EnvFns:
     """``core``: "exact" (gather-based oracle-parity kernels),
     "parallel" (gather-based, relaxed-order hand-off) or "fast" (the
-    dense compact TPU core; see fast_core.py)."""
+    dense compact TPU core; see fast_core.py).  ``archetypes``: optional
+    k-row car-parameter table (the reference's extension point,
+    traffic_env.py:32-43); defaults to the shipped single archetype."""
     if core == "fast":
-        from .fast_core import init_state_compact, make_sim_fast
+        from .fast_core import (init_state_compact, make_sim_fast,
+                                n_car_rows)
         fns = make_sim_fast(topo, cfg, on_device_spawns=on_device_spawns,
-                            max_spawns_per_tick=max_spawns_per_tick)
+                            max_spawns_per_tick=max_spawns_per_tick,
+                            archetypes=archetypes)
         # validate mode attaches the trip-time histogram accumulator
         n_tb = (cfg.episode_ticks + 2) if cfg.mode == "validate" else 0
+        rows = n_car_rows(archetypes)
         init_sim = lambda key: init_state_compact(topo, key,
-                                                  n_trip_bins=n_tb)
+                                                  n_trip_bins=n_tb,
+                                                  rows=rows)
     else:
         fns = make_sim(topo, cfg, on_device_spawns=on_device_spawns,
                        max_spawns_per_tick=max_spawns_per_tick,
-                       handoff=core)
+                       handoff=core, archetypes=archetypes)
         init_sim = lambda key: init_state(topo, key)
     Rt, I = topo.train_roads, topo.intersections
     obs_dim = 2 * Rt + I + (Rt if cfg.occupancy_obs else 0)

@@ -56,13 +56,22 @@ INF = jnp.float32(np.inf)
 FMAX = np.finfo(np.float32).max
 CX, CV, CW = 0, 1, 2  # compact car rows
 
-# Archetype constants (single archetype: traffic_env.py:35-43).
+# Archetype-0 constants of the shipped table (traffic_env.py:35-43);
+# the kernel path imports these.  make_sim_fast takes an ``archetypes``
+# table and compiles per-car one-hot parameter selects when it has more
+# than one row (the reference's extension point, traffic_env.py:32-43).
 AR = ARCHETYPES[0]
 C_V0, C_A, C_B = np.float32(AR[V0]), np.float32(AR[A]), np.float32(AR[B])
 C_T, C_S0, C_L = np.float32(AR[T]), np.float32(AR[S0]), np.float32(AR[L])
 C_SPAWN_V, C_SPAWN_X = np.float32(AR[V]), np.float32(AR[X])
-assert ARCHETYPES.shape[0] == 1, "compact core assumes a single archetype"
 assert float(AR[DELTA]) == 4.0
+CAI = 3  # archetype-index car row, present only for k>1 tables
+
+
+def n_car_rows(archetypes=None) -> int:
+    """Compact rows: x/v/w, plus the archetype index for k>1 tables."""
+    k = (ARCHETYPES if archetypes is None else archetypes).shape[0]
+    return 4 if k > 1 else 3
 
 
 def nn_(p):
@@ -75,16 +84,17 @@ def fin_(p):
     return jax.lax.clamp(F32(-FMAX), p, F32(FMAX))
 
 
-def init_state_compact(topo: GridRoad, key,
-                       n_trip_bins: int = 0) -> SimState:
-    """Compact-state twin of structs.init_state (cars rows: x, v, w).
-    ``n_trip_bins > 0`` attaches the validate-mode trip-time histogram
-    (reference advance_hack telemetry)."""
+def init_state_compact(topo: GridRoad, key, n_trip_bins: int = 0,
+                       rows: int = 3) -> SimState:
+    """Compact-state twin of structs.init_state (cars rows: x, v, w,
+    plus the archetype index when ``rows`` is 4).  ``n_trip_bins > 0``
+    attaches the validate-mode trip-time histogram (reference
+    advance_hack telemetry)."""
     if hasattr(key, "dtype") and jax.dtypes.issubdtype(
             key.dtype, jax.dtypes.prng_key):
         key = jax.random.key_data(key)
     R, Rt, I = topo.roads, topo.train_roads, topo.intersections
-    cars = np.zeros((R, 3, RING), dtype=np.float32)
+    cars = np.zeros((R, rows, RING), dtype=np.float32)
     cars[:, CX, 0] = np.inf
     return SimState(
         cars=jnp.asarray(cars),
@@ -102,9 +112,37 @@ def init_state_compact(topo: GridRoad, key,
 def make_sim_fast(topo: GridRoad, cfg: Config,
                   on_device_spawns: bool = True,
                   max_spawns_per_tick: int = 8,
-                  max_crossings_per_tick: int = 4) -> SimFns:
+                  max_crossings_per_tick: int = 4,
+                  archetypes: np.ndarray | None = None) -> SimFns:
     R, Rt, I = topo.roads, topo.train_roads, topo.intersections
     S = RING
+
+    # Archetype table.  k == 1 (the shipped table) compiles the seven
+    # non-(x,v,w) params to constants; k > 1 adds a per-car index row
+    # (CAI) and selects params with one-hot where-chains — elementwise,
+    # so vmap keeps every op a plane op (no gathers).
+    arch_np = (ARCHETYPES if archetypes is None
+               else np.asarray(archetypes, np.float32))
+    k_arch = arch_np.shape[0]
+    multi = k_arch > 1
+    NROWS = 4 if multi else 3
+    assert np.all(arch_np[:, DELTA] == 4.0), \
+        "fast core requires delta == 4 in every archetype (two-squaring " \
+        "free-flow term; see oracle.sim.idm_update)"
+    A0 = arch_np[0]
+    C_V0, C_A, C_B = (np.float32(A0[V0]), np.float32(A0[A]),
+                      np.float32(A0[B]))
+    C_T, C_S0, C_L = (np.float32(A0[T]), np.float32(A0[S0]),
+                      np.float32(A0[L]))
+    C_SPAWN_V, C_SPAWN_X = np.float32(A0[V]), np.float32(A0[X])
+
+    def sel_p(ai, col):
+        """Per-car param from the archetype-index plane/vector ``ai``:
+        one-hot where-chain over the k compiled constants."""
+        out = jnp.full(jnp.shape(ai), np.float32(arch_np[0, col]), F32)
+        for j in range(1, k_arch):
+            out = jnp.where(ai == F32(j), np.float32(arch_np[j, col]), out)
+        return out
     length = np.float32(topo.length)
     rate = np.float32(cfg.rate)
     lam = np.float32(1.0 / (cfg.cars_per_sec * cfg.rate))
@@ -171,19 +209,35 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
         d = dist_from(leading)
         ncars = (lastcar - leading) % S
         mask = (d >= 1) & (d <= ncars[:, None])
-        # fake leader has l = 0; every real leader is the archetype
-        ld_l = jnp.where(d == 1, F32(0), C_L)
 
-        # ``one`` is a runtime 1.0: multiplying the constant divisors by
-        # it stops XLA from strength-reducing division-by-constant into
-        # reciprocal multiplication (1-2 ULP off the oracle's division).
-        den = (2 * jnp.sqrt(C_A * C_B)) * one
-        v0 = C_V0 * one
-        desired = C_S0 + jnp.maximum(
-            F32(0), nn_(v * C_T) + v * (v - ld_v) / den)
+        if multi:
+            # per-car params from the index row; the leader's length
+            # rides the same roll as ld_x/ld_v.  Fake leader has l = 0.
+            ai = cars[:, CAI]
+            p_a, p_b = sel_p(ai, A), sel_p(ai, B)
+            p_t, p_s0, p_v0 = sel_p(ai, T), sel_p(ai, S0), sel_p(ai, V0)
+            ld_l = jnp.where(d == 1, F32(0),
+                             jnp.roll(sel_p(ai, L), 1, axis=1))
+            # ``one`` guards as in the k == 1 branch: the selects fold
+            # to constants per branch, and a runtime multiply stops XLA
+            # strength-reducing the divisions
+            den = (2 * jnp.sqrt(p_a * p_b)) * one
+            v0 = p_v0 * one
+        else:
+            # fake leader has l = 0; every real leader is the archetype
+            ld_l = jnp.where(d == 1, F32(0), C_L)
+            # ``one`` is a runtime 1.0: multiplying the constant
+            # divisors by it stops XLA from strength-reducing
+            # division-by-constant into reciprocal multiplication
+            # (1-2 ULP off the oracle's division).
+            den = (2 * jnp.sqrt(C_A * C_B)) * one
+            v0 = C_V0 * one
+            p_a, p_t, p_s0 = C_A, C_T, C_S0
+        desired = p_s0 + jnp.maximum(
+            F32(0), nn_(v * p_t) + v * (v - ld_v) / den)
         gap = ld_x - x - ld_l
         free_flow = nn_(jnp.square(jnp.square(v / v0)))
-        dv = C_A * (1 - free_flow - nn_(jnp.square(desired / (gap + EPS))))
+        dv = p_a * (1 - free_flow - nn_(jnp.square(desired / (gap + EPS))))
         dvr = dv * rate
         dx = nn_(rate * v) + fin_(F32(0.5) * dvr * rate)
         new_x = jnp.where(mask, x + nn_((dx > 0) * dx), x)
@@ -225,6 +279,9 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
         x_k = [pick(x, d == k) - length for k in range(1, Kc + 1)]
         v_k = [pick(v, d == k) for k in range(1, Kc + 1)]
         w_k = [pick(w, d == k) for k in range(1, Kc + 1)]
+        if multi:
+            aip = cars[:, CAI]
+            ai_k = [pick(aip, d == k) for k in range(1, Kc + 1)]
 
         if trip_hist is not None:
             # cars crossing the end of an exit road leave the map:
@@ -246,7 +303,7 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
         # pops: vacated slots [1..count] inherit the fake-leader rows
         lead_mask = d == 0
         fake_rows = jnp.stack(
-            [pick(cars[:, r], lead_mask) for r in range(3)], axis=1)
+            [pick(cars[:, r], lead_mask) for r in range(NROWS)], axis=1)
         pop_mask = (d >= 1) & (d <= count[:, None])
         cars = jnp.where(pop_mask[:, None], fake_rows[:, :, None], cars)
         new_leading = (leading + count) % S
@@ -263,18 +320,32 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
             rewards, -OVERFLOW_PENALTY * n_overflow.astype(F32), dest1h)
 
         # chained clamp of incoming positions against the receiver tail
+        # (add_car, traffic_env.py:100-103: the floor subtracts the
+        # TAIL car's l and s0; each accepted crosser becomes the tail)
         tail_x = pick(x, dist_from(lastcar) == 0)
         occ_for_tail = jnp.where(jnp.asarray(feeder_first),
                                  leading != lastcar,
                                  new_leading != lastcar)
-        floor = jnp.where(occ_for_tail, tail_x - C_L - C_S0, INF)
-        xs_in, vs_in, ws_in = [], [], []
+        # two separate subtractions, matching the oracle's
+        # ``tail[X] - tail[L] - tail[S0]`` rounding order exactly
+        if multi:
+            tail_ai = pick(aip, dist_from(lastcar) == 0)
+            tail_f = tail_x - sel_p(tail_ai, L) - sel_p(tail_ai, S0)
+        else:
+            tail_f = tail_x - C_L - C_S0
+        floor = jnp.where(occ_for_tail, tail_f, INF)
+        xs_in, vs_in, ws_in, ais_in = [], [], [], []
         for k in range(Kc):
             xk = jnp.minimum(x_k[k][prev_c], floor)
             xs_in.append(xk)
             vs_in.append(v_k[k][prev_c])
             ws_in.append(w_k[k][prev_c])
-            floor = xk - C_L - C_S0
+            if multi:
+                aik = ai_k[k][prev_c]
+                ais_in.append(aik)
+                floor = xk - sel_p(aik, L) - sel_p(aik, S0)
+            else:
+                floor = xk - C_L - C_S0
 
         # pushes: slots at distance [1..accepted] behind the tail
         dl = dist_from(lastcar)
@@ -282,13 +353,17 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
         xp = jnp.zeros_like(x)
         vp = jnp.zeros_like(x)
         wp = jnp.zeros_like(x)
+        ap = jnp.zeros_like(x) if multi else None
         for k in range(Kc):
             m = dl == (k + 1)
             xp = jnp.where(m, xs_in[k][:, None], xp)
             vp = jnp.where(m, vs_in[k][:, None], vp)
             wp = jnp.where(m, ws_in[k][:, None], wp)
+            if multi:
+                ap = jnp.where(m, ais_in[k][:, None], ap)
+        rows = [xp, vp, wp] + ([ap] if multi else [])
         cars = jnp.where(push_mask[:, None],
-                         jnp.stack([xp, vp, wp], axis=1), cars)
+                         jnp.stack(rows, axis=1), cars)
         new_lastcar = (lastcar + accepted) % S
 
         # scoring (traffic_env.py:127-129)
@@ -309,29 +384,43 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
     entry_index[entry] = np.arange(E)
 
     def _spawn_common(cars, leading, lastcar, rewards, steps_f,
-                      road_1h, n_spawn):
+                      road_1h, n_spawn, ai_row=None):
         """Insert up to Ks cars this tick.  ``road_1h``: (Ks, E) bool
-        one-hot over entry roads per attempt; ``n_spawn``: i32 count."""
-        ce = cars[entry]                                # (E, 3, S) static
+        one-hot over entry roads per attempt; ``n_spawn``: i32 count;
+        ``ai_row``: i32 (Ks,) archetype index per attempt (k>1 only)."""
+        ce = cars[entry]                             # (E, NROWS, S) static
         xe = ce[:, CX]
         lead_e, last_e = leading[entry], lastcar[entry]
         d_last = (slots - last_e[:, None]) % S
         tail_x = jnp.max(jnp.where(d_last == 0, xe, -INF), axis=1)
         has_tail = ((last_e - lead_e) % S) > 0
-        floor_e = jnp.where(has_tail, tail_x - C_L - C_S0, INF)
+        if multi:
+            aie = ce[:, CAI]
+            tail_ai = jnp.max(jnp.where(d_last == 0, aie, -INF), axis=1)
+            tail_f = tail_x - sel_p(tail_ai, L) - sel_p(tail_ai, S0)
+        else:
+            tail_f = tail_x - C_L - C_S0
+        floor_e = jnp.where(has_tail, tail_f, INF)
         free_e = (lead_e - 1 - last_e) % S
 
         placed = jnp.zeros(E, I32)
         overflow = jnp.asarray(False)
-        xvals, accepted = [], []
+        xvals, accepted, ai_f = [], [], []
         for j in range(Ks):
             attempt = road_1h[j] & (j < n_spawn)        # (E,) bool
             full = placed >= free_e
             ok = attempt & ~full
-            xj = jnp.minimum(C_SPAWN_X, floor_e)
+            if multi:
+                aij = ai_row[j].astype(F32)
+                ai_f.append(aij)
+                xj = jnp.minimum(sel_p(aij, X), floor_e)
+                next_floor = xj - sel_p(aij, L) - sel_p(aij, S0)
+            else:
+                xj = jnp.minimum(C_SPAWN_X, floor_e)
+                next_floor = xj - C_L - C_S0
             xvals.append(xj)
             accepted.append(ok)
-            floor_e = jnp.where(ok, xj - C_L - C_S0, floor_e)
+            floor_e = jnp.where(ok, next_floor, floor_e)
             ovf_j = attempt & full
             overflow = overflow | jnp.any(ovf_j)
             rewards = seg_add(rewards,
@@ -340,14 +429,23 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
             placed = placed + ok.astype(I32)
 
         xplane = jnp.zeros_like(xe)
+        vplane = (None if not multi
+                  else jnp.zeros_like(xe))
+        aiplane = jnp.zeros_like(xe) if multi else None
         for j in range(Ks):
             pos = sum(a.astype(I32) for a in accepted[:j + 1])  # (E,)
             m = (d_last == pos[:, None]) & accepted[j][:, None]
             xplane = jnp.where(m, xvals[j][:, None], xplane)
+            if multi:
+                vplane = jnp.where(m, sel_p(ai_f[j], V), vplane)
+                aiplane = jnp.where(m, ai_f[j], aiplane)
         pm = (d_last >= 1) & (d_last <= placed[:, None])
-        newrows = jnp.stack([xplane,
-                             jnp.full_like(xplane, C_SPAWN_V),
-                             jnp.full_like(xplane, steps_f)], axis=1)
+        rows = [xplane,
+                vplane if multi else jnp.full_like(xplane, C_SPAWN_V),
+                jnp.full_like(xplane, steps_f)]
+        if multi:
+            rows.append(aiplane)
+        newrows = jnp.stack(rows, axis=1)
         ce = jnp.where(pm[:, None], newrows, ce)
         cars = cars.at[entry].set(ce)
         lastcar = lastcar.at[entry].set((last_e + placed) % S)
@@ -363,7 +461,7 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
     def spawn_device(state: SimState, _sched):
         key = jax.random.wrap_key_data(state.key)
         gap = state.spawn_gap
-        road_rows, n = [], jnp.int32(0)
+        road_rows, ais, n = [], [], jnp.int32(0)
         if cfg.poisson:
             key, k0 = jax.random.split(key)
             gap = jnp.where(
@@ -375,6 +473,11 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
                 en = gap == 0
                 ridx = jax.random.randint(k1, (), 0, E)
                 road_rows.append(jnp.arange(E) == ridx)
+                if multi:
+                    # same split sequence as core._spawn_on_device so
+                    # fast and exact stay bit-identical on-device
+                    key, k3 = jax.random.split(key)
+                    ais.append(jax.random.randint(k3, (), 0, k_arch))
                 new_gap = jnp.round(
                     jax.random.exponential(k2, dtype=F32) * lam).astype(I32)
                 n = n + en.astype(I32)
@@ -386,12 +489,15 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
                 key, k1 = jax.random.split(key)
                 ridx = jax.random.randint(k1, (), 0, E)
                 road_rows.append(jnp.arange(E) == ridx)
+                ais.append(jnp.int32(0))   # regular: archetypes[0] only
                 n = n + due.astype(I32)
             for _ in range(Ks - len(road_rows)):
                 road_rows.append(jnp.zeros(E, bool))
+                ais.append(jnp.int32(0))
         cars, lastcar, rewards, ovf = _spawn_common(
             state.cars, state.leading, state.lastcar, state.rewards,
-            state.steps.astype(F32), jnp.stack(road_rows), n)
+            state.steps.astype(F32), jnp.stack(road_rows), n,
+            jnp.stack(ais) if multi else None)
         return state.replace(cars=cars, lastcar=lastcar, rewards=rewards,
                              key=jax.random.key_data(key),
                              spawn_gap=gap), ovf
@@ -404,9 +510,16 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
         eidx = jnp.asarray(entry_index)[roads_row]
         rows = [jnp.arange(E) == eidx[j] for j in range(min(k, Ks))]
         rows += [jnp.zeros(E, bool)] * (Ks - len(rows))
+        ai_row = None
+        if multi:
+            assert sched.aidx is not None, \
+                "k>1 archetypes need schedule aidx (spawn.build_schedule)"
+            arow = sched.aidx[t]
+            ai_row = jnp.stack(
+                [arow[j] if j < k else jnp.int32(0) for j in range(Ks)])
         cars, lastcar, rewards, ovf = _spawn_common(
             state.cars, state.leading, state.lastcar, state.rewards,
-            state.steps.astype(F32), jnp.stack(rows), count)
+            state.steps.astype(F32), jnp.stack(rows), count, ai_row)
         return state.replace(cars=cars, lastcar=lastcar,
                              rewards=rewards), ovf
 

@@ -38,15 +38,18 @@ class BatchedEnv(NamedTuple):
 def make_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
                      on_device_spawns: bool = True,
                      max_spawns_per_tick: int | None = None,
-                     core: str = "fast", **pallas_kw) -> BatchedEnv:
+                     core: str = "fast", archetypes=None,
+                     **pallas_kw) -> BatchedEnv:
     if core == "pallas":
         return make_pallas_batched_env(
             topo, cfg, n_envs, on_device_spawns=on_device_spawns,
-            max_spawns_per_tick=max_spawns_per_tick, **pallas_kw)
+            max_spawns_per_tick=max_spawns_per_tick,
+            archetypes=archetypes, **pallas_kw)
     if max_spawns_per_tick is None:
         max_spawns_per_tick = 8
     env = make_env(topo, cfg, on_device_spawns=on_device_spawns,
-                   max_spawns_per_tick=max_spawns_per_tick, core=core)
+                   max_spawns_per_tick=max_spawns_per_tick, core=core,
+                   archetypes=archetypes)
 
     def init(key):
         keys = jax.random.split(key, n_envs)
@@ -105,7 +108,7 @@ def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
                             max_spawns_per_tick: int | None = None,
                             block_envs: int | None = None,
                             interpret: bool = False,
-                            mesh=None) -> BatchedEnv:
+                            mesh=None, archetypes=None) -> BatchedEnv:
     """BatchedEnv whose agent step is ONE fused Pallas kernel call per
     light period (ops/pallas_window.py): the whole 10-tick window for a
     block of envs runs in VMEM, with lazy auto-reset folded in.  Reward
@@ -148,14 +151,15 @@ def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
     xbenv = make_batched_env(topo, cfg, n_envs,
                              on_device_spawns=on_device_spawns,
                              max_spawns_per_tick=max_spawns_per_tick,
-                             core="fast")
+                             core="fast", archetypes=archetypes)
     fast = xbenv.env.sim_fns
     Rt, I = topo.train_roads, topo.intersections
     k_hist = max(int(cfg.history), 1)
     validate = cfg.mode == "validate"
     kw = dict(on_device_spawns=on_device_spawns,
               max_spawns_per_tick=max_spawns_per_tick,
-              block_envs=block_envs, interpret=interpret)
+              block_envs=block_envs, interpret=interpret,
+              archetypes=archetypes)
     rep = make_repeater_window(topo, cfg, autoreset=False, **kw)
     rep_lazy = make_repeater_window(topo, cfg, autoreset=True, **kw)
 

@@ -30,41 +30,54 @@ from .structs import SpawnSchedule
 
 
 def build_schedule(topo: GridRoad, cfg: Config, seed, ticks: int,
-                   max_per_tick: int | None = None) -> SpawnSchedule:
+                   max_per_tick: int | None = None,
+                   archetypes: np.ndarray | None = None) -> SpawnSchedule:
     """Materialize ``ticks`` worth of the arrival stream for one env.
 
     Uses the oracle's spawner classes directly, so the RandomState
     consumption order is identical to the reference by construction.
+    With a k>1 ``archetypes`` table the per-car randint draw is recorded
+    in ``aidx`` (None for the shipped single-archetype table).
     """
     rand = np.random.RandomState(seed)
     spawner_cls = PoissonSpawner if cfg.poisson else RegularSpawner
-    spawner = spawner_cls(rand, cfg.cars_per_sec, cfg.rate)
+    spawner = spawner_cls(rand, cfg.cars_per_sec, cfg.rate, archetypes)
+    multi = spawner.arch.shape[0] > 1
     counts = np.zeros(ticks, dtype=np.int32)
-    rows: list[list[int]] = []
+    rows: list[list[tuple[int, int]]] = []
     for t in range(ticks):
         arrivals = spawner.tick(topo.entrypoints)
         counts[t] = len(arrivals)
-        rows.append([road for road, _ in arrivals])
+        rows.append([(road, ai) for road, _, ai in arrivals])
     k = max(int(counts.max()), 1)
     if max_per_tick is not None:
         assert k <= max_per_tick, (
             f"schedule burst {k} exceeds max_per_tick={max_per_tick}")
         k = max_per_tick
     roads = np.zeros((ticks, k), dtype=np.int32)
+    aidx = np.zeros((ticks, k), dtype=np.int32) if multi else None
     for t, row in enumerate(rows):
-        roads[t, :len(row)] = row
-    return SpawnSchedule(counts=counts, roads=roads, base=np.int32(0))
+        roads[t, :len(row)] = [r for r, _ in row]
+        if multi:
+            aidx[t, :len(row)] = [a for _, a in row]
+    return SpawnSchedule(counts=counts, roads=roads, base=np.int32(0),
+                         aidx=aidx)
 
 
 def build_batched_schedule(topo: GridRoad, cfg: Config, seeds,
-                           ticks: int, max_per_tick: int = 16) -> SpawnSchedule:
+                           ticks: int, max_per_tick: int = 16,
+                           archetypes: np.ndarray | None = None
+                           ) -> SpawnSchedule:
     """Independent schedules for a batch of envs, stacked on a trailing
     batch axis (matching the simulator's batch-last layout)."""
-    scheds = [build_schedule(topo, cfg, s, ticks, max_per_tick) for s in seeds]
+    scheds = [build_schedule(topo, cfg, s, ticks, max_per_tick, archetypes)
+              for s in seeds]
     return SpawnSchedule(
         counts=np.stack([s.counts for s in scheds], axis=-1),
         roads=np.stack([s.roads for s in scheds], axis=-1),
         base=np.zeros(len(scheds), np.int32),
+        aidx=(None if scheds[0].aidx is None else
+              np.stack([s.aidx for s in scheds], axis=-1)),
     )
 
 
@@ -90,14 +103,16 @@ class ScheduleStream:
     """
 
     def __init__(self, topo: GridRoad, cfg: Config, seeds,
-                 chunk_ticks: int, max_per_tick: int = 8):
+                 chunk_ticks: int, max_per_tick: int = 8,
+                 archetypes: np.ndarray | None = None):
         self.topo = topo
         self.chunk = int(chunk_ticks)
         self.k = int(max_per_tick)
         spawner_cls = PoissonSpawner if cfg.poisson else RegularSpawner
         self._sp = [spawner_cls(np.random.RandomState(s),
-                                cfg.cars_per_sec, cfg.rate)
+                                cfg.cars_per_sec, cfg.rate, archetypes)
                     for s in seeds]
+        self.multi = self._sp[0].arch.shape[0] > 1 if self._sp else False
         n = len(self._sp)
         self._next = np.zeros(n, np.int64)   # first ungenerated tick
         self._base = np.zeros(n, np.int64)   # absolute tick of buf[0]
@@ -118,6 +133,8 @@ class ScheduleStream:
         assert gticks.shape == (B,), gticks.shape
         counts = np.zeros((self.chunk, B), np.int32)
         roads = np.zeros((self.chunk, self.k, B), np.int32)
+        aidx = (np.zeros((self.chunk, self.k, B), np.int32)
+                if self.multi else None)
         for i in range(B):
             g = int(gticks[i])
             if g < self._base[i]:
@@ -151,11 +168,14 @@ class ScheduleStream:
                     raise AssertionError(
                         f"schedule burst {len(arrivals)} exceeds "
                         f"max_per_tick={self.k}")
-                self._buf[i].append([road for road, _ in arrivals])
+                self._buf[i].append([(road, ai)
+                                     for road, _, ai in arrivals])
                 self._next[i] += 1
             self._served[i] = True
             for t, row in enumerate(islice(self._buf[i], self.chunk)):
                 counts[t, i] = len(row)
-                roads[t, :len(row), i] = row
+                roads[t, :len(row), i] = [r for r, _ in row]
+                if aidx is not None:
+                    aidx[t, :len(row), i] = [a for _, a in row]
         return SpawnSchedule(counts=counts, roads=roads,
-                             base=gticks.astype(np.int32))
+                             base=gticks.astype(np.int32), aidx=aidx)

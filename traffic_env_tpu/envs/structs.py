@@ -63,6 +63,10 @@ class SpawnSchedule:
     counts: jnp.ndarray      # i32[T] cars arriving at each tick
     roads: jnp.ndarray       # i32[T, K] entry road ids (row-padded with 0)
     base: jnp.ndarray | int = 0   # absolute tick of row 0 (per-env when batched)
+    # archetype index per arrival (the reference's randint draw,
+    # traffic_env.py:164).  None when the table has one archetype —
+    # every consumer then compiles archetype-0 parameters.
+    aidx: jnp.ndarray | None = None   # i32[T, K] or None
 
 
 def init_state(topo: GridRoad, key) -> SimState:

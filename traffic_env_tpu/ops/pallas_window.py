@@ -101,7 +101,8 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                        block_envs: int = 128,
                        autoreset: bool = False,
                        emit_trips: bool = False,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       archetypes=None):
     R, Rt, I = topo.roads, topo.train_roads, topo.intersections
     S = RING
     W = cfg.light_iterations
@@ -119,6 +120,32 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
     entry_list = [int(e) for e in topo.entrypoints]
     E = len(entry_list)
 
+    # Archetype table (traffic_env.py:32-43).  k == 1 inlines the
+    # params as literals (the compiled benchmark path, byte-identical
+    # to before); k > 1 carries a per-car index plane ("ai") and
+    # selects params with one-hot where-chains — still pure plane ops.
+    arch_np = (C.ARCHETYPES if archetypes is None
+               else np.asarray(archetypes, np.float32))
+    k_arch = arch_np.shape[0]
+    multi = k_arch > 1
+    assert np.all(arch_np[:, C.DELTA] == 4.0), \
+        "window kernel requires delta == 4 in every archetype"
+    A0 = arch_np[0]
+    C_A, C_B = float(A0[C.A]), float(A0[C.B])
+    C_T, C_S0, C_L = float(A0[C.T]), float(A0[C.S0]), float(A0[C.L])
+    C_V0 = float(A0[C.V0])
+    C_SPAWN_V, C_SPAWN_X = float(A0[C.V]), float(A0[C.X])
+    SK = STATE_KEYS + (("ai",) if multi else ())
+
+    def sel(ai_plane, col):
+        """Archetype param from the f32 index plane: one-hot
+        where-chain over the k compiled literals."""
+        out = jnp.full_like(ai_plane, F32(float(arch_np[0, col])))
+        for j in range(1, k_arch):
+            out = jnp.where(ai_plane == F32(j),
+                            F32(float(arch_np[j, col])), out)
+        return out
+
     # topology tensors passed as kernel inputs (i32)
     perm_next = np.zeros((Rt, R), np.int32)   # row t: one-hot of nxt[t]
     perm_next[np.arange(Rt), topo.nxt[:Rt]] = 1
@@ -131,9 +158,11 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                       (hf & (topo.prev < np.arange(R))).astype(np.int32),
                       topo.phase_group.astype(np.int32)], axis=1)  # (R,4)
 
-    def kernel(action_ref, sprows_ref, pnext_ref, pprev_ref, dest1h_ref,
-               flags_ref, *refs):
-        n = len(STATE_KEYS)
+    def kernel(action_ref, sprows_ref, *rest):
+        if multi:
+            spai_ref, *rest = rest
+        pnext_ref, pprev_ref, dest1h_ref, flags_ref, *refs = rest
+        n = len(SK)
         in_refs = refs[:n]
         out_refs = refs[n:n + n]
         if emit_trips:
@@ -145,13 +174,14 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
 
         (x, v, wrow, leading, lastcar, phase, elapsed, waiting, detected,
          passed_dst, gap_state, steps, gtick, done) = [
-            r[:] for r in in_refs]
+            r[:] for r in in_refs[:len(STATE_KEYS)]]
         # Work in (S, R, Bb): the last two dims (48, lanes) tile the
         # (8, 128) vregs exactly, where (R, S=19->24, Bb) pads ~20% of
         # every sublane.  Two in-kernel transposes per WINDOW buy ~17%
         # off every per-TICK plane op (micro-benchmarked).
         T = lambda pln: jnp.transpose(pln, (1, 0, 2))
         x, v, wrow = T(x), T(v), T(wrow)
+        ai = T(in_refs[-1][:]) if multi else None
         action = action_ref[:]
         # Topology masks stay i32 and are compared AFTER any axis
         # expansion: Mosaic cannot reshape/relayout i1 vectors, so every
@@ -193,6 +223,8 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             x = jnp.where(slot0, FINF, x)
             v = jnp.where(slot0, F32(0), v)
             wrow = jnp.where(slot0, F32(0), wrow)
+            if multi:
+                ai = jnp.where(slot0, F32(0), ai)
             leading = jnp.where(rs2, 0, leading)
             lastcar = jnp.where(rs2, 0, lastcar)
             elapsed = jnp.where(rs2, 0, elapsed)
@@ -292,6 +324,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             lm = livei[None, :] > 0
             lm3 = livei[None, None, :] > 0
             x0, v0_, w0 = x, v, wrow
+            ai0 = ai
 
             # -- phase / elapsed ----------------------------------------
             if learn_switch:
@@ -309,17 +342,29 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             d_last = d_from(lastcar)
             tail_x = pick(x, d_last == 0)
             has_tail = mod_s(lastcar - leading) > 0
-            floor_r = jnp.where(has_tail, tail_x - C_L - C_S0, FINF)
+            if multi:
+                # add_car's floor (traffic_env.py:100-103) subtracts the
+                # TAIL car's l and s0 — two separate subtractions, the
+                # oracle's rounding order
+                tail_ai = pick(ai, d_last == 0)
+                tail_f = tail_x - sel(tail_ai, C.L) - sel(tail_ai, C.S0)
+            else:
+                tail_f = tail_x - C_L - C_S0
+            floor_r = jnp.where(has_tail, tail_f, FINF)
             free_r = mod_s(leading - 1 - lastcar)
             placed = jnp.zeros((R, Bb), I32)
             ovf_cnt = jnp.zeros((R, Bb), I32)
             xplane = jnp.zeros((S, R, Bb), F32)
+            if multi:
+                vplane = jnp.zeros((S, R, Bb), F32)
+                aiplane = jnp.zeros((S, R, Bb), F32)
             gap_row = gap_state[0]
             if on_device_spawns and poisson:
                 first = jnp.round(
                     -jnp.log(uniform() + 1e-12) * lam).astype(I32)
                 gap_row = jnp.where(gap_row < 0, first, gap_row)
             for j in range(Ks):
+                aidx = None
                 if on_device_spawns and not poisson:
                     # regular mode (traffic_env.py:166-176): a batch of
                     # reg_batch cars whenever gtick hits the interval
@@ -327,10 +372,15 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                     en = due & livev & (j < reg_batch)
                     ridx = jnp.minimum((uniform() * E).astype(I32), E - 1)
                     road = entry_road_of(ridx)
+                    if multi:     # regular: always archetypes[0]
+                        aidx = jnp.zeros((Bb,), I32)
                 elif on_device_spawns:
                     en = (gap_row == 0) & livev
                     ridx = jnp.minimum((uniform() * E).astype(I32), E - 1)
                     road = entry_road_of(ridx)
+                    if multi:     # per-car draw (traffic_env.py:164)
+                        aidx = jnp.minimum(
+                            (uniform() * k_arch).astype(I32), k_arch - 1)
                     new_gap = jnp.round(
                         -jnp.log(uniform() + 1e-12) * lam).astype(I32)
                     gap_row = jnp.where(en, new_gap, gap_row)
@@ -338,18 +388,29 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                     eidx = sprows_ref[w_tick, j]
                     en = (eidx >= 0) & livev
                     road = entry_road_of(jnp.maximum(eidx, 0))
+                    if multi:
+                        aidx = spai_ref[w_tick, j]
                 attempt = (rids2 == road[None, :]) & \
                     (en.astype(I32)[None, :] > 0)
                 full = placed >= free_r
                 ok = attempt & ~full
-                xj = jnp.minimum(F32(C_SPAWN_X), floor_r)
-                floor_r = jnp.where(ok, xj - C_L - C_S0, floor_r)
+                if multi:
+                    aj = aidx.astype(F32)[None, :]            # (1, Bb)
+                    xj = jnp.minimum(sel(aj, C.X), floor_r)
+                    floor_r = jnp.where(
+                        ok, xj - sel(aj, C.L) - sel(aj, C.S0), floor_r)
+                else:
+                    xj = jnp.minimum(F32(C_SPAWN_X), floor_r)
+                    floor_r = jnp.where(ok, xj - C_L - C_S0, floor_r)
                 ovf_j = attempt & full
                 ovf_cnt = ovf_cnt + ovf_j.astype(I32)
                 oki = ok.astype(I32)
                 placed = placed + oki
                 m = (d_last == placed[None, :, :]) & (oki[None, :, :] > 0)
                 xplane = jnp.where(m, xj[None, :, :], xplane)
+                if multi:
+                    vplane = jnp.where(m, sel(aj, C.V)[None, :, :], vplane)
+                    aiplane = jnp.where(m, aj[None, :, :], aiplane)
             if on_device_spawns and poisson:
                 gap_row = jnp.where(livev, gap_row - (gap_row > 0), gap_row)
                 gap_state = gap_row[None, :]
@@ -360,8 +421,10 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             pm = (d_last >= 1) & (d_last <= placed[None, :, :])
             steps_f = steps[0].astype(F32)[None, None, :]
             x = jnp.where(pm, xplane, x)
-            v = jnp.where(pm, F32(C_SPAWN_V), v)
+            v = jnp.where(pm, vplane if multi else F32(C_SPAWN_V), v)
             wrow = jnp.where(pm, steps_f, wrow)
+            if multi:
+                ai = jnp.where(pm, aiplane, ai)
             lastcar = mod_s(lastcar + placed)
 
             # ring distances reused across lights/IDM/hand-off:
@@ -395,14 +458,26 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             ld_x = jnp.roll(x, 1, axis=0)
             ld_v = jnp.roll(v, 1, axis=0)
             mask = (dL >= 1) & (dL <= ncars[None, :, :])
-            ld_l = jnp.where(dL == 1, F32(0), F32(C_L))
-            den = F32(2 * np.sqrt(np.float32(C_A) * np.float32(C_B))) * one
-            v0p = F32(C_V0) * one
-            desired = C_S0 + jnp.maximum(
-                F32(0), _nn(v * C_T) + v * (v - ld_v) / den)
+            if multi:
+                # per-car params from the index plane; the leader's
+                # length rides the same roll as ld_x/ld_v
+                p_a, p_b = sel(ai, C.A), sel(ai, C.B)
+                p_t, p_s0, p_v0 = sel(ai, C.T), sel(ai, C.S0), sel(ai, C.V0)
+                ld_l = jnp.where(dL == 1, F32(0),
+                                 jnp.roll(sel(ai, C.L), 1, axis=0))
+                den = (2 * jnp.sqrt(p_a * p_b)) * one
+                v0p = p_v0 * one
+            else:
+                p_a, p_t, p_s0 = F32(C_A), F32(C_T), F32(C_S0)
+                ld_l = jnp.where(dL == 1, F32(0), F32(C_L))
+                den = F32(2 * np.sqrt(np.float32(C_A)
+                                      * np.float32(C_B))) * one
+                v0p = F32(C_V0) * one
+            desired = p_s0 + jnp.maximum(
+                F32(0), _nn(v * p_t) + v * (v - ld_v) / den)
             gapp = ld_x - x - ld_l
             free_flow = _nn(jnp.square(jnp.square(v / v0p)))
-            dv = C_A * (1 - free_flow
+            dv = p_a * (1 - free_flow
                         - _nn(jnp.square(desired / (gapp + EPS))))
             dvr = dv * rate
             dxp = _nn(rate * v) + _fin(F32(0.5) * dvr * rate)
@@ -427,7 +502,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             beyond = mask & (x > length)   # mask == follower (same dL/ncars)
             run = None
             count = jnp.zeros((R, Bb), I32)
-            x_k, v_k, w_k = [], [], []
+            x_k, v_k, w_k, ai_k = [], [], [], []
             for k in range(1, Kc + 1):
                 ck = jnp.max((beyond & (dL == k)).astype(I32), axis=0) > 0
                 run = ck if run is None else run & ck
@@ -436,10 +511,13 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                 x_k.append(pick(x, mk) - length)
                 v_k.append(pick(v, mk))
                 w_k.append(pick(wrow, mk))
+                if multi:
+                    ai_k.append(pick(ai, mk))
             lead_mask = dL == 0
             fake_xr = pick(x, lead_mask)
             fake_vr = pick(v, lead_mask)
             fake_wr = pick(wrow, lead_mask)
+            fake_ar = pick(ai, lead_mask) if multi else None
             if emit_trips:
                 # validate-mode telemetry: cars popping off an EXIT road
                 # leave the map; record (road, duration) events for the
@@ -467,9 +545,12 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             # fully-crossing receiver queue would otherwise clamp the
             # incoming car against a fake-leader value
             x_prepop = x
+            ai_prepop = ai
             x = jnp.where(pop_mask, fake_xr[None, :, :], x)
             v = jnp.where(pop_mask, fake_vr[None, :, :], v)
             wrow = jnp.where(pop_mask, fake_wr[None, :, :], wrow)
+            if multi:
+                ai = jnp.where(pop_mask, fake_ar[None, :, :], ai)
             new_leading = mod_s(leading + count)
 
             thr = count * is_train_i[:, None]
@@ -488,22 +569,38 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             # the i8-backed bool select result back to a mask)
             occ_t = jnp.where(ff_m, (leading != lastcar).astype(I32),
                               (new_leading != lastcar).astype(I32)) > 0
-            floor2 = jnp.where(occ_t, tail_x2 - C_L - C_S0, FINF)
+            if multi:
+                tail_a2 = pick(ai_prepop, dT == 0)
+                tail_f2 = (tail_x2 - sel(tail_a2, C.L)
+                           - sel(tail_a2, C.S0))
+            else:
+                tail_f2 = tail_x2 - C_L - C_S0
+            floor2 = jnp.where(occ_t, tail_f2, FINF)
             dl = dT
             xp2 = jnp.zeros((S, R, Bb), F32)
             vp2 = jnp.zeros((S, R, Bb), F32)
             wp2 = jnp.zeros((S, R, Bb), F32)
+            ap2 = jnp.zeros((S, R, Bb), F32) if multi else None
             for k in range(Kc):
                 xin = jnp.minimum(permute(x_k[k], pprev_f), floor2)
-                floor2 = xin - C_L - C_S0
                 mkk = dl == (k + 1)
                 xp2 = jnp.where(mkk, xin[None, :, :], xp2)
                 vp2 = jnp.where(mkk, permute(v_k[k], pprev_f)[None, :, :], vp2)
                 wp2 = jnp.where(mkk, permute(w_k[k], pprev_f)[None, :, :], wp2)
+                if multi:
+                    # each accepted crosser becomes the tail: the next
+                    # floor uses ITS l/s0 (add_car's chained clamp)
+                    a_in = permute(ai_k[k], pprev_f)
+                    ap2 = jnp.where(mkk, a_in[None, :, :], ap2)
+                    floor2 = xin - sel(a_in, C.L) - sel(a_in, C.S0)
+                else:
+                    floor2 = xin - C_L - C_S0
             push_mask = (dl >= 1) & (dl <= accepted[None, :, :])
             x = jnp.where(push_mask, xp2, x)
             v = jnp.where(push_mask, vp2, v)
             wrow = jnp.where(push_mask, wp2, wrow)
+            if multi:
+                ai = jnp.where(push_mask, ap2, ai)
             new_lastcar = mod_s(lastcar + accepted)
             passed = jax.lax.slice_in_dim(thr, 0, Rt, axis=0)
             # passed_dst via segment max over train roads (d1h/thr are
@@ -517,6 +614,8 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             x = jnp.where(lm3, x, x0)
             v = jnp.where(lm3, v, v0_)
             wrow = jnp.where(lm3, wrow, w0)
+            if multi:
+                ai = jnp.where(lm3, ai, ai0)
             leading = jnp.where(lm, new_leading, leading)
             lastcar = jnp.where(lm, new_lastcar, lastcar)
             passed_dst = jnp.where(lm, pd_new, passed_dst)
@@ -531,7 +630,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
 
         outs = (T(x), T(v), T(wrow), leading, lastcar, phase, elapsed,
                 waiting, detected, passed_dst, gap_state, steps, gtick,
-                done)
+                done) + ((T(ai),) if multi else ())
         for ref, val in zip(out_refs, outs):
             ref[:] = val
         acc_passed_ref[:] = acc_passed
@@ -540,10 +639,12 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
         last_passed_ref[:] = last_passed
 
     # ------------------------------------------------------------------
-    def window(state: dict, action, spawn_rows=None):
-        """state: dict of batch-trailing arrays keyed by STATE_KEYS;
-        action (I, B); spawn_rows (W, Ks, B) entry indices or None.
-        Returns (new_state, acc_passed, rew_sum, last_rew)."""
+    def window(state: dict, action, spawn_rows=None, spawn_ai=None):
+        """state: dict of batch-trailing arrays keyed by SK (STATE_KEYS
+        plus "ai" for k>1 tables); action (I, B); spawn_rows (W, Ks, B)
+        entry indices or None; spawn_ai (W, Ks, B) archetype indices
+        (k>1 schedule mode).  Returns (new_state, acc_passed, rew_sum,
+        last_rew)."""
         B = action.shape[-1]
         assert B % Bb == 0, (B, Bb)
         grid = (B // Bb,)
@@ -562,9 +663,14 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                                 memory_space=pltpu.ANY if interpret
                                 else pltpu.VMEM)
 
-        leaves = [state[k] for k in STATE_KEYS]
+        leaves = [state[k] for k in SK]
         if spawn_rows is None:
             spawn_rows = jnp.full((W, Ks, B), -1, I32)
+        pre = [action, spawn_rows]
+        if multi:
+            if spawn_ai is None:
+                spawn_ai = jnp.zeros((W, Ks, B), I32)
+            pre.append(spawn_ai)
         consts = [jnp.asarray(perm_next), jnp.asarray(perm_prev),
                   jnp.asarray(dest1h), jnp.asarray(flags)]
         extra_shapes = [jax.ShapeDtypeStruct((Rt, B), I32),
@@ -580,10 +686,10 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
         out_shapes = ([jax.ShapeDtypeStruct(l.shape, l.dtype)
                        for l in leaves] + extra_shapes)
         out_specs = [bspec(l.shape) for l in leaves] + extra_specs
-        in_specs = ([bspec(action.shape), bspec(spawn_rows.shape)]
+        in_specs = ([bspec(p.shape) for p in pre]
                     + [cspec(c.shape) for c in consts]
                     + [bspec(l.shape) for l in leaves])
-        n_pre = 2 + len(consts)
+        n_pre = len(pre) + len(consts)
         aliases = {i + n_pre: i for i in range(len(leaves))}
         outs = pl.pallas_call(
             kernel,
@@ -593,9 +699,9 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             out_specs=out_specs,
             input_output_aliases=aliases,
             interpret=interpret,
-        )(action, spawn_rows, *consts, *leaves)
-        new_state = dict(zip(STATE_KEYS, outs[:len(STATE_KEYS)]))
-        extras = outs[len(STATE_KEYS):]
+        )(*pre, *consts, *leaves)
+        new_state = dict(zip(SK, outs[:len(SK)]))
+        extras = outs[len(SK):]
         acc_passed, rew_sum, last_rew, last_passed = extras[:4]
         light = extras[4] if emit_trips else None
         trips = extras[5] if emit_trips else None
@@ -606,19 +712,24 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
 
 
 def sim_to_dict(sim):
-    """Batched compact SimState (trailing batch) -> kernel state dict."""
-    return dict(
+    """Batched compact SimState (trailing batch) -> kernel state dict.
+    A 4-row compact state (k>1 archetype tables) adds the "ai" plane."""
+    d = dict(
         x=sim.cars[:, 0], v=sim.cars[:, 1], w=sim.cars[:, 2],
         leading=sim.leading, lastcar=sim.lastcar, phase=sim.phase,
         elapsed=sim.elapsed, waiting=sim.waiting, detected=sim.detected,
         passed_dst=sim.passed_dst.astype(I32),
         gap=sim.spawn_gap[None], steps=sim.steps[None],
         gtick=sim.global_tick[None], done=sim.done.astype(I32)[None])
+    if sim.cars.shape[1] == 4:
+        d["ai"] = sim.cars[:, 3]
+    return d
 
 
 def dict_to_sim(sim, d, last_passed, last_rew):
+    rows = [d["x"], d["v"], d["w"]] + ([d["ai"]] if "ai" in d else [])
     return sim.replace(
-        cars=jnp.stack([d["x"], d["v"], d["w"]], axis=1),
+        cars=jnp.stack(rows, axis=1),
         leading=d["leading"], lastcar=d["lastcar"], phase=d["phase"],
         elapsed=d["elapsed"], waiting=d["waiting"], detected=d["detected"],
         passed_dst=d["passed_dst"].astype(bool),
@@ -630,6 +741,8 @@ def dict_to_sim(sim, d, last_passed, last_rew):
 def build_spawn_rows(sched, gtick, W: int, Ks: int, topo: GridRoad):
     """Gather each env's next-W-ticks arrival rows from its schedule and
     convert road ids to entry indices (-1 padding past the count).
+    Returns (entry_rows, archetype_rows); the latter is None unless the
+    schedule carries k>1 archetype draws.
 
     sched.counts (T, B), sched.roads (T, K, B); gtick (B,)."""
     entry_index = np.full(topo.roads, -1, np.int32)
@@ -637,7 +750,14 @@ def build_spawn_rows(sched, gtick, W: int, Ks: int, topo: GridRoad):
     entry_index = jnp.asarray(entry_index)
     K = sched.roads.shape[1]
     B = gtick.shape[0]
-    rows = []
+    rows, arows = [], []
+
+    def pad(arr, fill):
+        if K < Ks:
+            return jnp.concatenate(
+                [arr, jnp.full((Ks - K, B), fill, I32)], axis=0)
+        return arr[:Ks]
+
     for w in range(W):
         t = gtick + w - sched.base
         cnt = jnp.take_along_axis(sched.counts, t[None, :], axis=0)[0]
@@ -646,20 +766,20 @@ def build_spawn_rows(sched, gtick, W: int, Ks: int, topo: GridRoad):
         eidx = entry_index[r]                        # (K, B)
         jj = jnp.arange(K)[:, None]
         eidx = jnp.where(jj < cnt[None, :], eidx, -1)
-        if K < Ks:
-            eidx = jnp.concatenate(
-                [eidx, jnp.full((Ks - K, B), -1, I32)], axis=0)
-        else:
-            eidx = eidx[:Ks]
-        rows.append(eidx)
-    return jnp.stack(rows)                            # (W, Ks, B)
+        rows.append(pad(eidx, -1))
+        if sched.aidx is not None:
+            a = jnp.take_along_axis(
+                sched.aidx, t[None, None, :].repeat(K, axis=1), axis=0)[0]
+            arows.append(pad(jnp.where(jj < cnt[None, :], a, 0), 0))
+    return (jnp.stack(rows),                          # (W, Ks, B)
+            jnp.stack(arows) if arows else None)
 
 
 def make_repeater_window(topo: GridRoad, cfg: Config,
                          on_device_spawns: bool = True,
                          max_spawns_per_tick: int = 8,
                          block_envs: int = 128, autoreset: bool = False,
-                         interpret: bool = False):
+                         interpret: bool = False, archetypes=None):
     """Drop-in replacement for the env layer's repeater_step, operating
     on a *batched* compact SimState (trailing batch axis): one fused
     kernel call per agent step.  ``autoreset=True`` folds the lazy
@@ -671,15 +791,17 @@ def make_repeater_window(topo: GridRoad, cfg: Config,
     window = make_window_kernel(
         topo, cfg, on_device_spawns=on_device_spawns,
         max_spawns_per_tick=Ks, block_envs=block_envs,
-        autoreset=autoreset, emit_trips=validate, interpret=interpret)
+        autoreset=autoreset, emit_trips=validate, interpret=interpret,
+        archetypes=archetypes)
 
     def repeater_step(sim, action, sched=None):
         action = jnp.asarray(action).astype(I32)
-        rows = None
+        rows = airows = None
         if not on_device_spawns:
-            rows = build_spawn_rows(sched, sim.global_tick, W, Ks, topo)
+            rows, airows = build_spawn_rows(sched, sim.global_tick, W,
+                                            Ks, topo)
         (d, acc_passed, rew_sum, last_rew, last_passed, light_secs,
-         trips) = window(sim_to_dict(sim), action, rows)
+         trips) = window(sim_to_dict(sim), action, rows, airows)
         if autoreset:
             # resurrected lanes ran the window: kernel values are live
             passed_new, rew_new = last_passed, last_rew

@@ -94,69 +94,85 @@ class PoissonSpawner:
 
     Replicates the lazy-generator RNG call order of the reference
     (traffic_env.py:159-164 plus the consumption loop at :274-283):
-    ``exponential`` for the gap, a throwaway ``randint(1)`` archetype
-    draw per car, then ``choice(entrypoints)`` per spawned car — all on
-    one RandomState, interleaved exactly as the generator is resumed.
+    ``exponential`` for the gap, a ``randint(k)`` archetype draw per car
+    (a throwaway for the shipped single-archetype table, but consumed
+    either way so the stream stays aligned), then ``choice(entrypoints)``
+    per spawned car — all on one RandomState, interleaved exactly as the
+    generator is resumed.  ``tick`` yields ``(road, car_row, archetype
+    index)`` triples; ``archetypes`` defaults to the module table
+    (traffic_env.py:32-43's extension point).
     """
 
     def __init__(self, rand: np.random.RandomState, cars_per_sec: float,
-                 rate: float):
+                 rate: float, archetypes: np.ndarray | None = None):
         self.rand = rand
+        self.arch = ARCHETYPES if archetypes is None else np.asarray(
+            archetypes, np.float32)
         self.lam = 1.0 / (cars_per_sec * rate)
         self._gap = None  # None => a fresh exponential must be drawn
 
-    def _emit(self) -> np.ndarray | None:
-        """One next() on the underlying stream: a car's params, or None."""
+    def _emit(self) -> tuple[np.ndarray, int] | None:
+        """One next() on the underlying stream: (car params, archetype
+        index), or None on an empty tick."""
         if self._gap is None:
             self._gap = round(self.rand.exponential(self.lam))
         if self._gap > 0:
             self._gap -= 1
             return None
-        idx = self.rand.randint(ARCHETYPES.shape[0])
+        idx = self.rand.randint(self.arch.shape[0])
         self._gap = None
-        return ARCHETYPES[idx].copy()
+        return self.arch[idx].copy(), int(idx)
 
-    def tick(self, entrypoints: np.ndarray) -> list[tuple[int, np.ndarray]]:
+    def tick(self, entrypoints: np.ndarray) \
+            -> list[tuple[int, np.ndarray, int]]:
         out = []
-        car = self._emit()
-        while car is not None:
+        emitted = self._emit()
+        while emitted is not None:
+            car, idx = emitted
             road = self.rand.choice(entrypoints)
-            out.append((int(road), car))
-            car = self._emit()
+            out.append((int(road), car, idx))
+            emitted = self._emit()
         return out
 
 
 class RegularSpawner:
     """Deterministic spawner: batches of ceil(cars_per_tick) cars every
-    round(1/cars_per_tick) ticks (traffic_env.py:166-176).  Entry-road
-    choice still consumes the RandomState."""
+    round(1/cars_per_tick) ticks (traffic_env.py:166-176).  Always
+    archetype 0 (the reference's ``regular`` yields ``archetypes[0]``);
+    entry-road choice still consumes the RandomState."""
 
     def __init__(self, rand: np.random.RandomState, cars_per_sec: float,
-                 rate: float):
+                 rate: float, archetypes: np.ndarray | None = None):
         self.rand = rand
+        self.arch = ARCHETYPES if archetypes is None else np.asarray(
+            archetypes, np.float32)
         cars_per_tick = cars_per_sec * rate
         self.ticks_per_car = round(1.0 / cars_per_tick)
         self.batch = math.ceil(cars_per_tick)
         self._i = 0
 
-    def tick(self, entrypoints: np.ndarray) -> list[tuple[int, np.ndarray]]:
+    def tick(self, entrypoints: np.ndarray) \
+            -> list[tuple[int, np.ndarray, int]]:
         i, self._i = self._i, self._i + 1
         if self.ticks_per_car != 0 and i % self.ticks_per_car != 0:
             return []
         out = []
         for _ in range(self.batch):
             road = self.rand.choice(entrypoints)
-            out.append((int(road), ARCHETYPES[0].copy()))
+            out.append((int(road), self.arch[0].copy(), 0))
         return out
 
 
 class OracleSim:
     """Reference-semantics single-instance simulator over a GridRoad."""
 
-    def __init__(self, topo: GridRoad, cfg, seed=None, validate: bool = False):
+    def __init__(self, topo: GridRoad, cfg, seed=None, validate: bool = False,
+                 archetypes: np.ndarray | None = None):
         self.topo = topo
         self.cfg = cfg
         self.validate = validate
+        self.archetypes = (ARCHETYPES if archetypes is None
+                           else np.asarray(archetypes, np.float32))
         R, Rt, I = topo.roads, topo.train_roads, topo.intersections
         self.cars = np.zeros((R, NPARAMS, CAPACITY), dtype=np.float32)
         self.leading = np.ones(R, dtype=np.int32)
@@ -180,12 +196,9 @@ class OracleSim:
         """(Re)create the spawn RandomState + stream; the stream then
         persists across episode resets (traffic_env.py:250-253)."""
         self.rand = np.random.RandomState(seed)
-        if self.cfg.poisson:
-            self.spawner = PoissonSpawner(self.rand, self.cfg.cars_per_sec,
-                                          self.cfg.rate)
-        else:
-            self.spawner = RegularSpawner(self.rand, self.cfg.cars_per_sec,
-                                          self.cfg.rate)
+        spawner_cls = PoissonSpawner if self.cfg.poisson else RegularSpawner
+        self.spawner = spawner_cls(self.rand, self.cfg.cars_per_sec,
+                                   self.cfg.rate, self.archetypes)
 
     # -- episode lifecycle -------------------------------------------------
 
@@ -237,7 +250,7 @@ class OracleSim:
 
     def _spawn(self) -> bool:
         overflowed = False
-        for road, car in self.spawner.tick(self.topo.entrypoints):
+        for road, car, _ in self.spawner.tick(self.topo.entrypoints):
             self.generated_cars += 1
             car[W] = self.steps
             overflowed = self._add_car(road, car) or overflowed
