@@ -19,7 +19,10 @@ BASE = dict(num_envs=4, episode_secs=60, light_secs=5, total_episodes=2,
             batch_size=4, buffer_size=32)
 
 
-@pytest.mark.parametrize("trainer", ["qlearn", "a3c", "polgrad_rnn", "qrnn"])
+@pytest.mark.parametrize("trainer", [
+    "qlearn", "a3c",
+    pytest.param("polgrad_rnn", marks=pytest.mark.slow),
+    pytest.param("qrnn", marks=pytest.mark.slow)])
 def test_trainer_smoke(trainer, tmp_path):
     cfg = Config(trainer=trainer, logdir=str(tmp_path / trainer),
                  **BASE).derive()
@@ -28,8 +31,12 @@ def test_trainer_smoke(trainer, tmp_path):
     assert os.path.exists(tmp_path / trainer / "metrics.jsonl")
 
 
-@pytest.mark.parametrize("trainer", ["random", "const0", "const1", "fixed",
-                                     "greedy", "spacedgreedy"])
+@pytest.mark.parametrize("trainer", [
+    "random", "greedy",
+    pytest.param("const0", marks=pytest.mark.slow),
+    pytest.param("const1", marks=pytest.mark.slow),
+    pytest.param("fixed", marks=pytest.mark.slow),
+    pytest.param("spacedgreedy", marks=pytest.mark.slow)])
 def test_baseline_smoke(trainer, tmp_path):
     cfg = Config(trainer=trainer, logdir=str(tmp_path / trainer),
                  **BASE).derive()
@@ -37,12 +44,14 @@ def test_baseline_smoke(trainer, tmp_path):
     assert isinstance(data, tuple)
 
 
+@pytest.mark.slow
 def test_a3c_conv_gru_smoke(tmp_path):
     cfg = Config(trainer="a3c", conv_gru=True, logdir=str(tmp_path / "cg"),
                  **BASE).derive()
     run_alg(cfg)
 
 
+@pytest.mark.slow
 def test_checkpoint_restore_roundtrip(tmp_path):
     from traffic_env_tpu.algorithms import qlearn
     logdir = str(tmp_path / "q")
@@ -55,6 +64,7 @@ def test_checkpoint_restore_roundtrip(tmp_path):
     assert int(ts2.episode) >= 3
 
 
+@pytest.mark.slow
 def test_qlearn_learns_cartpole(tmp_path):
     """Learning fixture: greedy CartPole return must improve well above
     the random-policy baseline (~20 steps/episode).  Evaluated as the
@@ -91,6 +101,7 @@ def test_cem_improves(tmp_path):
     assert len(means) == 3
 
 
+@pytest.mark.slow
 def test_qlearn_learns_traffic(tmp_path):
     """Learning-curve regression vs the scripted baselines (SURVEY §4):
     trained greedy return on a 1x2 grid must clearly beat the
@@ -117,6 +128,7 @@ def test_qlearn_learns_traffic(tmp_path):
     assert final > 2.0, (first, final)
 
 
+@pytest.mark.slow
 def test_qlearn_single_agent(tmp_path):
     """--single_agent (UnGSpaceWrapper semantics): qlearn trains one
     2^I-way head whose integer choice decodes to env phase bits."""
@@ -138,6 +150,7 @@ def test_single_agent_rejected_for_sigmoid_learners(tmp_path):
         run_alg(cfg)
 
 
+@pytest.mark.slow
 def test_learner_validate_telemetry_and_render(tmp_path):
     """--trainer=qlearn --mode=validate must emit per-step light_times
     (collected inside the greedy scan) and trip-time telemetry, and
@@ -211,7 +224,13 @@ def test_checkpoint_replay_schema_migration(tmp_path):
         restored2 = ck2.restore(ts2)
     assert int(restored2.step) == 77
     assert float(restored2.rho) == 0.25
-    assert int(restored2.replay.filled) == 0         # empty fresh ring
+    # fresh ring = the template's make_state ring: only the reset-time
+    # history prefill rows (never sampleable as transitions), no
+    # legacy transitions carried over
+    assert int(restored2.replay.filled) == int(ts2.replay.filled)
+    assert int(restored2.replay.filled) <= cfg2.history
+    np.testing.assert_array_equal(np.asarray(restored2.replay.frames),
+                                  np.asarray(ts2.replay.frames))
     np.testing.assert_array_equal(
         np.asarray(jax.tree_util.tree_leaves(restored2.params_main)[0]),
         np.asarray(jax.tree_util.tree_leaves(ts2.params_main)[0]))

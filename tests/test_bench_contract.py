@@ -3,6 +3,8 @@ scaling-efficiency harness emits the efficiency metric."""
 
 import json
 import os
+
+import pytest
 import subprocess
 import sys
 
@@ -22,12 +24,14 @@ def _run(args):
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+@pytest.mark.slow
 def test_bench_single_chip_line():
     line = _run([])
     assert line["unit"] == "env-steps/s/chip"
     assert line["value"] > 0 and "vs_baseline" in line
 
 
+@pytest.mark.slow
 def test_bench_mesh_scaling_efficiency():
     line = _run(["--mesh=2"])
     assert line["mesh_devices"] == 2

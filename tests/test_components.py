@@ -255,6 +255,7 @@ def test_regular_spawn_mode_on_device():
     # timing is covered on real TPU hardware by the bench smoke)
 
 
+@pytest.mark.slow
 def test_exact_mode_flag():
     """--exact=true binds host-precomputed MT19937 arrival streams to
     the env surface: runs are bit-reproducible and schedule-free at the

@@ -6,6 +6,8 @@ distributed-backend replacement, exercised for real)."""
 
 import json
 import os
+
+import pytest
 import socket
 import subprocess
 import sys
@@ -21,6 +23,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_cli_training(tmp_path):
     port = _free_port()
     env = dict(os.environ)

@@ -118,6 +118,7 @@ def test_exact_chunked_pallas_matches_monolithic_fast():
         > chunk
 
 
+@pytest.mark.slow
 def test_exact_train_loop_smoke(tmp_path):
     """qlearn trains end-to-end under --exact: the ScheduleStream is
     refreshed at every host-loop iteration (including validation) and

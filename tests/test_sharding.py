@@ -43,12 +43,14 @@ def test_sharded_rollout_matches_single_device():
 
 
 @needs_multi
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
 
 
 @needs_multi
+@pytest.mark.slow
 def test_qlearn_training_dp_sharded_step():
     """A full qlearn episode with the env batch sharded on dp: params
     stay replicated (the partitioner all-reduces gradients)."""
@@ -112,6 +114,7 @@ def test_pallas_env_under_mesh():
 
 
 @needs_multi
+@pytest.mark.slow
 @pytest.mark.parametrize("trainer", ["qlearn", "a3c"])
 def test_cli_mesh_training_matches_unsharded(trainer, tmp_path):
     """--mesh_shape=8 through the production path (build_env mesh ->
@@ -143,6 +146,7 @@ def test_cli_mesh_training_matches_unsharded(trainer, tmp_path):
 
 
 @needs_multi
+@pytest.mark.slow
 def test_cli_mesh_qrnn_and_pg_train(tmp_path):
     """qrnn + polgrad_rnn also train over the CLI-built mesh."""
     import importlib
