@@ -95,8 +95,12 @@ def make_fns(cfg: Config, benv):
     tx = optax.chain(optax.clip_by_global_norm(10.0),
                      optax.adam(cfg.learning_rate))
 
-    def act(params, obs, eps, key, greedy=False):
-        q = net.apply(params, _obs_bf(obs))        # (B, heads, choices)
+    def act(params, obs, eps, key, greedy=False, obs_bf=None):
+        """``obs`` is batch-trailing (…, B); ``obs_bf`` (batch-first)
+        takes precedence when the caller already has that layout (the
+        replay-ring stacks of the training hot loop)."""
+        q = net.apply(params, _obs_bf(obs) if obs_bf is None
+                      else obs_bf)                 # (B, heads, choices)
         if greedy:
             return jnp.argmax(q, axis=-1).astype(I32), q
         return softmax_decision(key, q, eps, cfg.exploration), q
@@ -139,19 +143,36 @@ def make_fns(cfg: Config, benv):
         return ts.replace(params_target=params_target), \
             (loss, jnp.max(pred), gnorm)
 
+    # history-free throughput step when the env provides it: the
+    # policy acts on stacks gathered from the replay ring
+    # (FrameReplay.last_stack), so the env's k-frame roll write — the
+    # dominant qlearn memory cost at history=20 — leaves the hot loop.
+    # CartPole's fixture env has no noh variant (k == 1 anyway).
+    noh_step = getattr(benv, "step_autoreset_lazy_noh", None)
+
     def agent_step(ts: QLearnTS, _):
         key, k_act, k_train = jax.random.split(ts.key, 3)
         eps = exploration_param(cfg, ts.episode)
-        a, _ = act(ts.params_main, ts.obs, eps, k_act)   # (B, heads)
-        env, obs1, rew, done, _ = benv.step_autoreset_lazy(
-            ts.env, jnp.moveaxis(env_action(a), 0, -1))
+        if noh_step is not None:
+            stack = jnp.moveaxis(ts.replay.last_stack(), 0, 1)
+            a, _ = act(ts.params_main, None, eps, k_act,
+                       obs_bf=stack)                      # (B, heads)
+            env, obs1, rew, done, _ = noh_step(
+                ts.env, jnp.moveaxis(env_action(a), 0, -1))
+            newest = obs1                                 # (obs, B) raw
+        else:
+            a, _ = act(ts.params_main, ts.obs, eps, k_act)
+            env, obs1, rew, done, _ = benv.step_autoreset_lazy(
+                ts.env, jnp.moveaxis(env_action(a), 0, -1))
+            newest = obs1[-1] if obs1.ndim == 3 else obs1  # (obs, B)
         # one frame row per step: the stack the actor saw is
         # reconstructed at sample time (FrameReplay docstring)
-        newest = obs1[-1] if obs1.ndim == 3 else obs1     # (obs, B)
         replay = ts.replay.add_step(
             jnp.moveaxis(newest, -1, 0), a,
             learn_reward(jnp.moveaxis(rew, -1, 0)), done)
-        ts = ts.replace(env=env, obs=obs1, replay=replay, key=key,
+        ts = ts.replace(env=env,
+                        obs=ts.obs if noh_step is not None else obs1,
+                        replay=replay, key=key,
                         step=ts.step + 1)
         ready = (replay.idx >= replay.size) & \
             (ts.step % cfg.train_rate == 0)
@@ -220,17 +241,24 @@ def make_state(cfg: Config):
     env, obs = jax.jit(benv.reset)(env)
     obs_shape = benv.env.observation_space.shape
     params = net.init(k_net, jnp.zeros((1, *obs_shape), F32))
+    replay = FrameReplay.create(
+        cfg.buffer_size, B,
+        obs_shape[0] if len(obs_shape) == 2 else 1,  # stack depth
+        obs_shape[-1],
+        1 if cfg.single_agent else benv.n_intersections,
+        1 if cfg.single_agent else benv.env.reward_size)
+    if getattr(benv, "step_autoreset_lazy_noh", None) is not None:
+        # the hot loop acts on replay-ring stacks (last_stack): seed
+        # the ring with the reset's history prefill so the first k
+        # training steps see exactly the stack the env path would have
+        hist0 = obs if obs.ndim == 3 else obs[None]      # (k, obs, B)
+        replay = replay.prefill(jnp.moveaxis(hist0, -1, 1))
     ts = QLearnTS(
         params_main=params,
         params_chooser=params,
         params_target=params,
         opt_state=tx.init(params),
-        replay=FrameReplay.create(
-            cfg.buffer_size, B,
-            obs_shape[0] if len(obs_shape) == 2 else 1,  # stack depth
-            obs_shape[-1],
-            1 if cfg.single_agent else benv.n_intersections,
-            1 if cfg.single_agent else benv.env.reward_size),
+        replay=replay,
         env=env, obs=obs,
         step=jnp.int32(0), train_steps=jnp.int32(0),
         episode=jnp.int32(0), rho=jnp.float32(0),

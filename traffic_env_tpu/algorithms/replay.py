@@ -87,6 +87,37 @@ class FrameReplay:
             cursor=(c + 1) % jnp.int32(self.size),
         )
 
+    def prefill(self, frames_kbo):
+        """Seed the ring with the env's reset-time history prefill
+        (k rows, (k, B, obs_dim)) so ``last_stack`` is warm from step 0.
+
+        The rows carry dummy action/reward; they can never anchor a
+        sampled transition because ``sample`` draws only from the
+        newest ``filled - k`` rows — prefill rows serve purely as
+        history context until the ring overwrites them."""
+        k = frames_kbo.shape[0]
+        c = self.cursor
+        N = jnp.int32(self.size)
+        slots = (c + jnp.arange(k)) % N
+        return self.replace(
+            frames=self.frames.at[slots].set(frames_kbo),
+            filled=jnp.minimum(self.filled + k, N),
+            cursor=(c + k) % N,
+        )
+
+    def last_stack(self):
+        """The k-frame stack the policy should act on NOW: the newest
+        k rows in insertion order, (k, B, obs_dim).
+
+        This replaces the env-side ``jnp.roll`` history buffer in the
+        training hot loop: the ring is written one row per step by
+        ``add_step`` anyway, so the k-row roll WRITE (the dominant
+        qlearn memory cost at history=20) disappears and the policy
+        gathers its input straight from the ring."""
+        N = self.size
+        idx = (self.cursor - self.k + jnp.arange(self.k)) % jnp.int32(N)
+        return self.frames[idx]
+
     def sample(self, key, n: int):
         """Uniform over valid (step, env) transitions.  Transition j
         consumes frames j-k..j: s = stack(j-k..j-1) (the obs the actor

@@ -101,6 +101,14 @@ class EnvFns(NamedTuple):
     reward_size: int
     obs_dim: int
     sim_fns: object
+    # history-free throughput variant of step_autoreset_lazy: returns
+    # the raw window obs and passes EnvState.history through untouched
+    # (the learner keeps the frame stack in its replay ring instead —
+    # algorithms/replay.py FrameReplay.last_stack)
+    step_autoreset_lazy_noh: callable = None
+    # --render_ticks: lazy step that also stacks each intermediate
+    # tick's SimState (render-path only)
+    step_autoreset_lazy_ticks: callable = None
 
 
 def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
@@ -140,10 +148,13 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
                          GSpace([obs_dim], np.float32(1), F32))
 
     # ------------------------------------------------------------------
-    def repeater_step(sim: SimState, action, sched):
+    def repeater_step(sim: SimState, action, sched, emit_ticks=False):
         """One light period (traffic_test.py:37-56): hold the action for
         light_iterations ticks; sum passed, keep last detected, collapse
-        elapsed to a signed normalized scalar; stop ticking at done."""
+        elapsed to a signed normalized scalar; stop ticking at done.
+        ``emit_ticks`` additionally stacks every intermediate tick's
+        sim (--render_ticks, the reference's per-tick pyglet animation
+        at traffic_env.py:285-359)."""
         action = jnp.asarray(action).astype(I32)
         light_secs = None
         if validate:
@@ -158,7 +169,8 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
             acc_passed = acc_passed + jnp.where(live, nxt.passed, 0)
             tot_rew = tot_rew + jnp.where(live, nxt.rewards, F32(0))
             done = done | (live & nxt.done)
-            return (sim, done, acc_passed, tot_rew), None
+            return (sim, done, acc_passed, tot_rew), \
+                (sim if emit_ticks else None)
 
         # the done-carry starts from the STICKY state flag: a lane that
         # finished a previous window stays frozen until an external
@@ -166,7 +178,7 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
         # the gym loop always resets first; freezing keeps every core
         # and the Pallas kernel bit-identical on that path)
         init = (sim, sim.done, jnp.zeros(Rt, I32), jnp.zeros(I, F32))
-        (sim, done, acc_passed, tot_rew), _ = jax.lax.scan(
+        (sim, done, acc_passed, tot_rew), ticks = jax.lax.scan(
             body, init, None, length=cfg.light_iterations)
         mult = (2 * sim.phase - 1).astype(F32)
         parts = [
@@ -182,11 +194,12 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
             occ = ((sim.lastcar - sim.leading) % RING)[:Rt]
             parts.append(occ.astype(F32) * F32(1.0 / (RING - 1)))
         obs = jnp.concatenate(parts)
-        return sim, obs, tot_rew, done, light_secs
+        return sim, obs, tot_rew, done, light_secs, ticks
 
-    def shaped_step(sim: SimState, action, sched):
+    def shaped_step(sim: SimState, action, sched, emit_ticks=False):
         """Repeater + Remi/Localize/Squish shaping (traffic_test.py:84-88)."""
-        sim, obs, rew, done, light_secs = repeater_step(sim, action, sched)
+        sim, obs, rew, done, light_secs, ticks = repeater_step(
+            sim, action, sched, emit_ticks)
         if cfg.remi:
             sim, rew = fns.remi(sim)
         if cfg.local_weight > 1:
@@ -195,12 +208,13 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
             # reward_size=1: a length-1 vector, not a scalar, so the
             # fast and pallas paths produce identically-shaped rewards
             rew = _ordered_mean(rew, I)[None]
-        return sim, obs, rew, done, light_secs
+        return sim, obs, rew, done, light_secs, ticks
 
     # ------------------------------------------------------------------
     def step(state: EnvState, action, sched=None):
         sched = state.sched if sched is None else sched
-        sim, obs, rew, done, light_secs = shaped_step(state.sim, action, sched)
+        sim, obs, rew, done, light_secs, _ = shaped_step(
+            state.sim, action, sched)
         if k_hist > 1:
             history = jnp.roll(state.history, -1, axis=0).at[-1].set(obs)
             out = history
@@ -232,17 +246,17 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
         # Repeater reset action + warmup run inside Remi: raw repeater
         # steps, no reward shaping consumed.  Scanned, not unrolled, to
         # keep compile time flat in warmup/history depth.
-        sim, obs, _, _, _ = repeater_step(sim, actions[0], sched)
+        sim, obs, _, _, _, _ = repeater_step(sim, actions[0], sched)
         if cfg.warmup_lights > 0:
             def wbody(sim, a):
-                sim, obs, _, _, _ = repeater_step(sim, a, sched)
+                sim, obs, _, _, _, _ = repeater_step(sim, a, sched)
                 return sim, obs
             sim, w_obs = jax.lax.scan(
                 wbody, sim, actions[1:1 + cfg.warmup_lights])
             obs = w_obs[-1]
         if k_hist > 1:
             def hbody(sim, a):
-                sim, obs, _, _, _ = shaped_step(sim, a, sched)
+                sim, obs, _, _, _, _ = shaped_step(sim, a, sched)
                 return sim, obs
             sim, rows = jax.lax.scan(
                 hbody, sim, actions[1 + cfg.warmup_lights:])
@@ -275,21 +289,58 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
         a standard batched-RL reset approximation; use step_autoreset
         for reference-exact reset windows."""
         sched = state.sched if sched is None else sched
+        return step(state.replace(sim=_lazy_reset_sim(state, sched)),
+                    action, sched)
+
+    def _lazy_reset_sim(state, sched):
+        """Fresh (empty, rephased) sim for done lanes.  In schedule
+        (--exact) mode the reset phase comes from the same
+        deterministic tick-hash the Pallas kernel's in-kernel lazy
+        reset uses, so trajectories are bit-identical across cores and
+        the PRNG key is never consumed (the host arrival stream is the
+        only randomness in exact mode)."""
         sim = state.sim
         if sched is not None:
-            # schedule (--exact) mode: the reset phase comes from the
-            # same deterministic tick-hash the Pallas kernel's
-            # in-kernel lazy reset uses, so trajectories are
-            # bit-identical across cores and the PRNG key is never
-            # consumed (the host arrival stream is the only
-            # randomness in exact mode)
             from ..ops.pallas_window import lazy_reset_phase
             ph = lazy_reset_phase(sim.global_tick[None], I)[:, 0]
             fresh = fns.reset(sim, ph)
         else:
             fresh = fns.reset(sim)
-        sim = _select(sim.done, fresh, sim)
-        return step(state.replace(sim=sim), action, sched)
+        return _select(sim.done, fresh, sim)
+
+    def step_autoreset_lazy_noh(state: EnvState, action, sched=None):
+        """step_autoreset_lazy without the history roll: returns the
+        raw window obs; ``state.history`` passes through untouched (no
+        HBM write).  The throughput-training path — the learner keeps
+        the rolling frame stack in its replay ring
+        (algorithms/replay.py FrameReplay.last_stack) so the k-frame
+        roll write disappears from the hot loop."""
+        sched = state.sched if sched is None else sched
+        sim = _lazy_reset_sim(state, sched)
+        sim, obs, rew, done, light_secs, _ = shaped_step(sim, action,
+                                                         sched)
+        info = {"light_times": light_secs} if validate else None
+        return (state.replace(sim=sim), obs, rew, done, info)
+
+    def step_autoreset_lazy_ticks(state: EnvState, action, sched=None):
+        """--render_ticks support: the lazy step, additionally
+        returning every intermediate tick's SimState stacked on a
+        leading axis (the reference animates each simulator tick,
+        traffic_env.py:285-359).  Render-path only — the tick stack
+        costs W full SimStates of memory."""
+        sched = state.sched if sched is None else sched
+        sim = _lazy_reset_sim(state, sched)
+        sim, obs, rew, done, light_secs, ticks = shaped_step(
+            sim, action, sched, emit_ticks=True)
+        if k_hist > 1:
+            history = jnp.roll(state.history, -1, axis=0).at[-1].set(obs)
+            out = history
+        else:
+            history = obs[None]
+            out = obs
+        info = {"light_times": light_secs} if validate else None
+        return (EnvState(sim=sim, history=history, sched=state.sched),
+                out, rew, done, info, ticks)
 
     def init(key) -> EnvState:
         sim = init_sim(key)
@@ -299,6 +350,8 @@ def make_env(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
     return EnvFns(init=init, reset=reset, step=step,
                   step_autoreset=step_autoreset,
                   step_autoreset_lazy=step_autoreset_lazy,
+                  step_autoreset_lazy_noh=step_autoreset_lazy_noh,
+                  step_autoreset_lazy_ticks=step_autoreset_lazy_ticks,
                   observation_space=observation_space,
                   action_space=action_space, reward_size=reward_size,
                   obs_dim=obs_dim, sim_fns=fns)

@@ -33,6 +33,14 @@ class BatchedEnv(NamedTuple):
     n_intersections: int
     mesh: object = None    # jax.sharding.Mesh when --mesh_shape is set
     sched_stream: object = None  # spawn.ScheduleStream in --exact mode
+    # history-free lazy step (raw window obs, EnvState.history
+    # untouched): the qlearn hot loop reconstructs stacks from its
+    # replay ring instead of paying the k-frame roll write every step
+    step_autoreset_lazy_noh: callable = None
+    # --render_ticks: lazy step also returning the per-tick SimState
+    # stack; fast-core path only (the fused kernel has no per-tick HBM
+    # visibility), render-time only
+    step_autoreset_lazy_ticks: callable = None
 
 
 def make_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
@@ -97,9 +105,25 @@ def make_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
         return jax.vmap(lambda s, a: env.step_autoreset_lazy(s, a),
                         in_axes=-1, out_axes=-1)(state, action)
 
+    def step_autoreset_lazy_noh(state, action, sched=None):
+        if sched is not None:
+            return jax.vmap(env.step_autoreset_lazy_noh, in_axes=-1,
+                            out_axes=-1)(state, action, sched)
+        return jax.vmap(lambda s, a: env.step_autoreset_lazy_noh(s, a),
+                        in_axes=-1, out_axes=-1)(state, action)
+
+    def step_autoreset_lazy_ticks(state, action, sched=None):
+        if sched is not None:
+            return jax.vmap(env.step_autoreset_lazy_ticks, in_axes=-1,
+                            out_axes=-1)(state, action, sched)
+        return jax.vmap(lambda s, a: env.step_autoreset_lazy_ticks(s, a),
+                        in_axes=-1, out_axes=-1)(state, action)
+
     return BatchedEnv(env=env, n_envs=n_envs, init=init, reset=reset,
                       step=step, step_autoreset=step_autoreset,
                       step_autoreset_lazy=step_autoreset_lazy,
+                      step_autoreset_lazy_noh=step_autoreset_lazy_noh,
+                      step_autoreset_lazy_ticks=step_autoreset_lazy_ticks,
                       n_intersections=topo.intersections)
 
 
@@ -212,7 +236,7 @@ def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
     squish_b = jax.vmap(lambda r: _ordered_mean(r, I),
                         in_axes=-1, out_axes=-1)
 
-    def shaped(state: EnvState, action, sched, kern):
+    def shaped(state: EnvState, action, sched, kern, noh=False):
         sim, obs, rew, done, light_secs = kern(state.sim, action, sched)
         if cfg.occupancy_obs:
             # --occupancy_obs extension (see envs/env.py repeater_step):
@@ -228,13 +252,17 @@ def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
             rew = loc_b(rew)
         if cfg.squish_rewards:
             rew = squish_b(rew)[None]
+        info = {"light_times": light_secs} if validate else None
+        if noh:
+            # history-free throughput step: raw window obs out, the
+            # history buffer passes through untouched (no roll write)
+            return (state.replace(sim=sim), obs, rew, done, info)
         if k_hist > 1:
             history = jnp.roll(state.history, -1, axis=0).at[-1].set(obs)
             out = history
         else:
             history = obs[None]
             out = obs
-        info = {"light_times": light_secs} if validate else None
         return EnvState(sim=sim, history=history,
                         sched=state.sched), out, rew, done, info
 
@@ -245,6 +273,10 @@ def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
     def step_autoreset_lazy(state, action, sched=None):
         sched = state.sched if sched is None else sched
         return shaped(state, action, sched, rep_lazy)
+
+    def step_autoreset_lazy_noh(state, action, sched=None):
+        sched = state.sched if sched is None else sched
+        return shaped(state, action, sched, rep_lazy, noh=True)
 
     def step_autoreset(state, action, sched=None):
         """Strict reference autoreset: finished envs are replaced by a
@@ -265,6 +297,7 @@ def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
                       reset=xbenv.reset, step=step,
                       step_autoreset=step_autoreset,
                       step_autoreset_lazy=step_autoreset_lazy,
+                      step_autoreset_lazy_noh=step_autoreset_lazy_noh,
                       n_intersections=topo.intersections, mesh=mesh)
 
 
