@@ -130,13 +130,25 @@ def run(cfg: Config, trainer: str | None = None):
         env, key = state["env"], state["key"]
         env, _ = benv.reset(env)
         held = jnp.zeros((benv.n_intersections, benv.n_envs), I32)
-        step_j = jax.jit(benv.step_autoreset_lazy)
+        ticks_mode = cfg.render_ticks
+        rbenv = benv
+        if ticks_mode and benv.step_autoreset_lazy_ticks is None:
+            # per-tick frames need the XLA fast core (the fused kernel
+            # has no per-tick HBM visibility)
+            from ..envs.rollout import make_batched_env
+            rbenv = make_batched_env(topo, cfg, benv.n_envs, core="fast")
+        step_j = jax.jit(rbenv.step_autoreset_lazy_ticks if ticks_mode
+                         else rbenv.step_autoreset_lazy)
         for t in range(cfg.episode_len):
             key, k = jax.random.split(key)
             a, held = policy(jnp.int32(t), k, env, held)
-            env, obs, rew, done, _ = step_j(env, a)
-            rend.add(env.sim)
-        gif = rend.finish()
+            if ticks_mode:
+                env, obs, rew, done, _, ticks = step_j(env, a)
+                rend.add_ticks(ticks)
+            else:
+                env, obs, rew, done, _ = step_j(env, a)
+                rend.add(env.sim)
+        gif = rend.finish(duration_ms=50 if ticks_mode else 250)
         print(f"rendered {len(rend.frames)} frames to {rend.outdir}"
               + (f" ({gif})" if gif else ""))
         state["env"], state["key"] = env, key

@@ -221,14 +221,24 @@ def render_greedy(cfg: Config, ctx, state, policy_step: Callable):
     topo = GridRoad(cfg.grid_m, cfg.grid_n, cfg.road_length)
     rend = EpisodeRenderer(topo, os.path.join(cfg.logdir, "render"))
     step_pi = policy_step(ctx, state)
+    ticks_mode = cfg.render_ticks
+    if ticks_mode and benv.step_autoreset_lazy_ticks is None:
+        # the fused kernel has no per-tick HBM visibility: rebuild the
+        # same env on the XLA fast core for the rendered episode
+        benv = make_batched_env(topo, cfg, benv.n_envs, core="fast")
     env, obs = jax.jit(benv.reset)(state.env)
-    step_j = jax.jit(benv.step_autoreset_lazy)
+    step_j = jax.jit(benv.step_autoreset_lazy_ticks if ticks_mode
+                     else benv.step_autoreset_lazy)
     carry = None
     for _ in range(cfg.episode_len):
         a, carry = step_pi(obs, carry)
-        env, obs, _, _, _ = step_j(env, a)
-        rend.add(env.sim)
-    gif = rend.finish()
+        if ticks_mode:
+            env, obs, _, _, _, ticks = step_j(env, a)
+            rend.add_ticks(ticks)
+        else:
+            env, obs, _, _, _ = step_j(env, a)
+            rend.add(env.sim)
+    gif = rend.finish(duration_ms=50 if ticks_mode else 250)
     print(f"rendered {len(rend.frames)} frames to {rend.outdir}"
           + (f" ({gif})" if gif else ""))
 

@@ -66,6 +66,10 @@ class Config:
     use_avg: bool = False
     print_avg: bool = False
     render: bool = False
+    # --render at simulator-tick granularity (light_iterations frames
+    # per agent step), matching the reference's per-tick pyglet
+    # animation (traffic_env.py:285-359); implies --render
+    render_ticks: bool = False
     episode_len: int = 800       # derived for traffic: episode_secs/light_secs
     save_rate: int = 1000
     logdir: str = "summaries"
@@ -119,6 +123,13 @@ class Config:
     coordinator: str = ""           # multi-host: coordinator host:port
     num_processes: int = 0          # multi-host: process count (0 = single)
     process_id: int = 0             # multi-host: this process's index
+    # a3c/polgrad diagnostic knobs (VERDICT r2 item 3: each maps to a
+    # hypothesis for the sigmoid-policy gap vs scripted greedy).
+    # Defaults reproduce the reference semantics exactly.
+    entropy_coef: float = 0.001     # a3c.py:36 entropy bonus weight
+    reward_scale: float = 100.0     # a3c.py:126 reward divisor
+    norm_adv: bool = False          # standardize advantages per window
+                                    # (off in the reference)
 
     # -- derived (filled by derive()) -------------------------------------
     light_iterations: int = 10
@@ -173,6 +184,8 @@ def _time_derivations(cfg: Config) -> dict:
 def _std_derivations(cfg: Config) -> dict:
     """alg_flags.py:41-44."""
     out: dict = {}
+    if cfg.render_ticks and not cfg.render:
+        out["render"] = True
     if cfg.render:
         out["mode"] = "validate"
     if cfg.use_avg:

@@ -111,6 +111,24 @@ class EpisodeRenderer:
         self.frames.append(path)
         return path
 
+    def add_ticks(self, ticks):
+        """--render_ticks: one frame per simulator tick from a
+        step_autoreset_lazy_ticks stack (SimState pytree with a leading
+        tick axis, batch-trailing leaves).  Fetches only the rendered
+        lane — one small device_get per agent step."""
+        import jax
+        lane = jax.device_get(jax.tree.map(
+            lambda l: l[..., self.env_index] if l is not None else None,
+            ticks))
+        n = int(np.asarray(lane.steps).shape[0])
+        for w in range(n):
+            frame = jax.tree.map(
+                lambda l: l[w] if l is not None else None, lane)
+            path = os.path.join(self.outdir,
+                                f"frame_{len(self.frames):04d}.png")
+            save_frame(self.topo, frame, path, env_index=None)
+            self.frames.append(path)
+
     def finish(self, gif_name: str = "episode.gif", duration_ms: int = 250):
         try:
             from PIL import Image
