@@ -63,6 +63,9 @@ def main():
     p.add_argument("--annealing", type=float, default=0.0,
                    help="0 = half the training episodes")
     p.add_argument("--buffer_size", type=int, default=100000)
+    p.add_argument("--entropy_coef", type=float, default=0.001)
+    p.add_argument("--reward_scale", type=float, default=100.0)
+    p.add_argument("--norm_adv", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="")
     p.add_argument("--platform", type=str, default="",
@@ -91,10 +94,35 @@ def main():
         batch_size=batch, buffer_size=args.buffer_size,
         annealing_episodes=anneal, start_eps=0.8, end_eps=0.05,
         target_update_rate=30, seed=args.seed,
+        entropy_coef=args.entropy_coef, reward_scale=args.reward_scale,
+        norm_adv=args.norm_adv,
         logdir=f"/tmp/curve_{args.trainer}_{args.grid}x{args.grid}",
     ).derive()
 
     bl = baseline_rewards(cfg)
+
+    if args.trainer == "cem":
+        # derivative-free path: iterations stand in for episodes
+        from traffic_env_tpu.algorithms import cem
+        t0 = time.time()
+        curve = cem.curve(cfg, n_iter=args.episodes,
+                          validate_every=args.validate_every)
+        best = max(v for _, v in curve)
+        summary = {
+            "workload": f"{args.grid}x{args.grid} grid, "
+                        f"{cem.SAMPLE_SIZE} envs (CEM population), "
+                        "trainer cem",
+            "baselines": bl, "curve": curve, "best_greedy": best,
+            "beats_scripted_greedy": best > bl.get("greedy",
+                                                   float("inf")),
+            "wall_s": round(time.time() - t0, 1),
+        }
+        print(json.dumps(summary))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(summary, f, indent=2)
+        return
+
     mod = importlib.import_module(
         f"traffic_env_tpu.algorithms.{args.trainer}")
     ctx, ts = mod.make_state(cfg)

@@ -134,7 +134,7 @@ def make_fns(cfg: Config, benv, topo):
             jnp.square(returns - values), axis=-1))
         from .exploration import entropy as _entropy
         ent = _entropy(jax.nn.sigmoid(scores))
-        loss = 0.5 * value_loss + policy_loss - 0.001 * ent
+        loss = 0.5 * value_loss + policy_loss - cfg.entropy_coef * ent
         return loss, (policy_loss, value_loss, ent)
 
     @jax.jit
@@ -149,9 +149,13 @@ def make_fns(cfg: Config, benv, topo):
              ts.params, ts.env, ts.obs, ts.gru, ts.key, eps)
         # bootstrap value of the final obs (a3c.py:121-124)
         _, v_boot, _ = forward(ts.params, flat_bf(obs), carry)
-        rew_seq = rew_seq / F32(100.0)                # a3c.py:126
+        rew_seq = rew_seq / F32(cfg.reward_scale)     # a3c.py:126
         adv, returns = gae(rew_seq, val_seq, v_boot, cfg.gamma, cfg.lam,
                            nd=1.0 - done_seq.astype(F32))
+        if cfg.norm_adv:
+            # per-window advantage standardization (diagnostic knob:
+            # decouples the policy-gradient scale from reward_scale)
+            adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + F32(1e-6))
         adv = jax.lax.stop_gradient(adv)
         returns = jax.lax.stop_gradient(returns)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(

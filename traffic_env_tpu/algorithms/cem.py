@@ -72,6 +72,52 @@ def make_eval(cfg: Config, benv):
     return evaluate
 
 
+def curve(cfg: Config, n_iter: int = N_ITER, validate_every: int = 5):
+    """CEM learning curve in the scripted-baseline metric (VERDICT r2
+    item 8): every ``validate_every`` generations the current mean
+    theta is evaluated deterministically across the whole env batch
+    (every env runs the SAME policy), producing the same
+    sum-over-steps-of-mean-reward scalar ``baselines.episode_runner``
+    reports, so curves/cem_3x3.json is directly comparable to
+    random/fixed/greedy."""
+    topo, cfg, benv = build_env(cfg, n_envs=SAMPLE_SIZE)
+    evaluate = make_eval(cfg, benv)
+    I = benv.n_intersections
+    obs_dim = benv.env.obs_dim
+    shape = (obs_dim, I)
+    th_mean = np.zeros(shape, np.float32)
+    th_std = np.ones(shape, np.float32) * INITIAL_STD
+    n_elite = int(round(SAMPLE_SIZE * ELITE_FRAC))
+    rng = np.random.RandomState(cfg.seed)
+    env = benv.init(jax.random.key(cfg.seed))
+    key = jax.random.key(cfg.seed + 1)
+
+    def eval_mean(env, th):
+        reps = jnp.broadcast_to(jnp.asarray(th), (SAMPLE_SIZE, *shape))
+        env, ys = evaluate(env, reps, key)
+        return env, float(np.asarray(ys).mean())
+
+    env = refresh_env_schedule(benv, env)
+    env, v0 = eval_mean(env, th_mean)
+    points = [[0, v0]]
+    for it in range(1, n_iter + 1):
+        env = refresh_env_schedule(benv, env)
+        ths = (rng.randn(SAMPLE_SIZE, *shape).astype(np.float32)
+               * th_std + th_mean)
+        env, ys = evaluate(env, jnp.asarray(ths), key)
+        ys = np.asarray(ys)
+        elite = ths[np.argsort(ys)[-n_elite:]]
+        th_mean = elite.mean(axis=0)
+        th_std = elite.std(axis=0)
+        if it % validate_every == 0 or it == n_iter:
+            env = refresh_env_schedule(benv, env)
+            env, v = eval_mean(env, th_mean)
+            points.append([it, v])
+            print(f"cem iter {it}: mean-theta return {v:.4f}",
+                  flush=True)
+    return points
+
+
 def run(cfg: Config):
     topo, cfg, benv = build_env(cfg, n_envs=SAMPLE_SIZE)
     evaluate = make_eval(cfg, benv)
