@@ -119,3 +119,56 @@ def test_fast_learn_switch():
     st = fns.reset(init_state_compact(topo, jax.random.key(0)), phase0)
     actions = (rng.random_sample((ticks, 4)) < 0.05).astype(np.int32)
     compare(topo, oracle, fns, st, actions, sched)
+
+
+def _queue_cars_oracle(o, e):
+    """(x, v) per car in queue order (oracle 20-slot mirror layout)."""
+    out, p = [], int(o.leading[e])
+    while p != int(o.lastcar[e]):
+        p = p + 1 if p < 19 else 1
+        out.append((float(o.cars[e, 0, p]), float(o.cars[e, 1, p])))
+    return out
+
+
+def _queue_cars_fast(st, e):
+    """(x, v) per car in queue order (fast 19-slot mirror-free ring)."""
+    x = np.asarray(st.cars)[e, 0]
+    v = np.asarray(st.cars)[e, 1]
+    lf, sf = int(np.asarray(st.leading)[e]), int(np.asarray(st.lastcar)[e])
+    out, p = [], lf
+    while p != sf:
+        p = (p + 1) % x.shape[0]
+        out.append((float(x[p]), float(v[p])))
+    return out
+
+
+def test_fast_car_planes_bitexact():
+    """Every car's (x, v) must match the oracle bit-for-bit in queue
+    order, every tick — obs-level parity alone cannot see ULP drift in
+    queued cars (integer detector counts mask it; caught for real by
+    the decel-penalty reward, whose dv<0 test exposes dvr ULPs).
+    Regression for the constant-fold bug where XLA turned the spawn /
+    hand-off clamp chain (x - l) - s0 into x - (l + s0)."""
+    topo, cfg, oracle, fns = setup(2, 2, 120.0, 7, local_cars_per_sec=0.25)
+    ticks = 500
+    sched = jax.tree.map(jnp.asarray, build_schedule(topo, cfg, 7, ticks))
+    rng = np.random.RandomState(71)
+    phase0 = rng.randint(2, size=4).astype(np.int32)
+    oracle.reset(phase=phase0)
+    st = fns.reset(init_state_compact(topo, jax.random.key(0)), phase0)
+    tick = jax.jit(lambda s, a: fns.tick(s, a, sched))
+    actions = held_actions(rng, ticks, 4)
+    clamped = False
+    for t in range(ticks):
+        obs_o, rew_o, done_o, _ = oracle.step(actions[t])
+        st = tick(st, actions[t])
+        for e in range(topo.roads):
+            co = _queue_cars_oracle(oracle, e)
+            cf = _queue_cars_fast(st, e)
+            assert co == cf, f"road {e} tick {t}: {co} != {cf}"
+            clamped = clamped or any(x < 0 for x, _ in co)
+        if done_o:
+            phase0 = rng.randint(2, size=4).astype(np.int32)
+            oracle.reset(phase=phase0)
+            st = fns.reset(st, phase0)
+    assert clamped, "scenario never exercised the spawn clamp chain"

@@ -253,7 +253,23 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
         occupied = (ncars > 0)[:Rt]
         waiting = waiting + jnp.where(occupied, wait_inc, 0)
         detected = jnp.where(occupied, det_cnt, detected)
-        return cars, waiting, detected
+        decel_cnt = jnp.sum(mask & (dvr < 0), axis=1, dtype=I32)[:Rt] \
+            if cfg.decel_penalty else None
+        return cars, waiting, detected, decel_cnt
+
+    def _apply_decel(rewards, cnt, one):
+        """Latent DECEL_PENALTY shaping (traffic_env.py:196-198,204-205).
+        k/10 is non-dyadic so add ORDER is part of the bit contract:
+        one f32 add per direction block, ascending — per rewards slot
+        this equals the oracle's ascending-road sequential loop.  (The
+        one-hot seg_add reduce cannot be used here: its reduction
+        order is not the oracle's.)"""
+        assert np.array_equal(np.asarray(dest_t),
+                              np.tile(np.arange(I), 4))
+        for d4 in range(4):
+            blk = jax.lax.slice_in_dim(cnt, d4 * I, (d4 + 1) * I)
+            rewards = rewards + blk.astype(F32) / (F32(10) * one)
+        return rewards
 
     # ------------------------------------------------------------------
     # hand-off (traffic_env.py:96-157), dense single pass
@@ -327,12 +343,17 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
                                  leading != lastcar,
                                  new_leading != lastcar)
         # two separate subtractions, matching the oracle's
-        # ``tail[X] - tail[L] - tail[S0]`` rounding order exactly
+        # ``tail[X] - tail[L] - tail[S0]`` rounding order exactly.
+        # ``one_s`` is a runtime 1.0: with compiled-constant l/s0 (the
+        # k == 1 path) XLA folds (x - 4) - 1 into x - 5 — one ULP off
+        # the oracle's two-step chain — unless the first operand is
+        # runtime.
+        one_s = jnp.where(steps >= 0, F32(1), F32(2))
         if multi:
             tail_ai = pick(aip, dist_from(lastcar) == 0)
             tail_f = tail_x - sel_p(tail_ai, L) - sel_p(tail_ai, S0)
         else:
-            tail_f = tail_x - C_L - C_S0
+            tail_f = tail_x - C_L * one_s - C_S0
         floor = jnp.where(occ_for_tail, tail_f, INF)
         xs_in, vs_in, ws_in, ais_in = [], [], [], []
         for k in range(Kc):
@@ -345,7 +366,7 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
                 ais_in.append(aik)
                 floor = xk - sel_p(aik, L) - sel_p(aik, S0)
             else:
-                floor = xk - C_L - C_S0
+                floor = xk - C_L * one_s - C_S0
 
         # pushes: slots at distance [1..accepted] behind the tail
         dl = dist_from(lastcar)
@@ -394,12 +415,15 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
         d_last = (slots - last_e[:, None]) % S
         tail_x = jnp.max(jnp.where(d_last == 0, xe, -INF), axis=1)
         has_tail = ((last_e - lead_e) % S) > 0
+        # runtime 1.0: stops XLA folding the constant (x - l) - s0
+        # chain into x - (l + s0) (one ULP off the oracle)
+        one_s = jnp.where(steps_f >= 0, F32(1), F32(2))
         if multi:
             aie = ce[:, CAI]
             tail_ai = jnp.max(jnp.where(d_last == 0, aie, -INF), axis=1)
             tail_f = tail_x - sel_p(tail_ai, L) - sel_p(tail_ai, S0)
         else:
-            tail_f = tail_x - C_L - C_S0
+            tail_f = tail_x - C_L * one_s - C_S0
         floor_e = jnp.where(has_tail, tail_f, INF)
         free_e = (lead_e - 1 - last_e) % S
 
@@ -417,7 +441,7 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
                 next_floor = xj - sel_p(aij, L) - sel_p(aij, S0)
             else:
                 xj = jnp.minimum(C_SPAWN_X, floor_e)
-                next_floor = xj - C_L - C_S0
+                next_floor = xj - C_L * one_s - C_S0
             xvals.append(xj)
             accepted.append(ok)
             floor_e = jnp.where(ok, next_floor, floor_e)
@@ -545,9 +569,14 @@ def make_sim_fast(topo: GridRoad, cfg: Config,
         cars = update_lights(state.cars, state.leading, state.lastcar,
                              phase, elapsed)
         one = jnp.where(state.steps >= 0, F32(1), F32(2))
-        cars, waiting, detected = integrate(cars, state.leading,
-                                            state.lastcar, state.waiting,
-                                            state.detected, one)
+        cars, waiting, detected, decel_cnt = integrate(
+            cars, state.leading, state.lastcar, state.waiting,
+            state.detected, one)
+        if cfg.decel_penalty:
+            # before advance's contributions (reference move_cars ->
+            # advance order)
+            state = state.replace(
+                rewards=_apply_decel(state.rewards, decel_cnt, one))
         (cars, leading, lastcar, passed, rewards, passed_dst, ovf,
          trip_hist) = \
             advance(cars, state.leading, state.lastcar, state.passed,

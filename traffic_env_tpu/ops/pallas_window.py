@@ -337,6 +337,9 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             elapsed = jnp.where(lm, (elapsed + 1) * (change == 0), elapsed)
             rewards = jnp.zeros((I, Bb), F32)
             overflow = jnp.zeros((Bb,), jnp.bool_)
+            # runtime 1.0 for constant-chain barriers ((x-l)-s0 spawn /
+            # hand-off clamps must round in two steps like the oracle)
+            one_rb = jnp.where(steps[0] >= 0, F32(1), F32(2))[None, :]
 
             # -- spawning (full-plane, entry-road masked) -----------------
             d_last = d_from(lastcar)
@@ -349,7 +352,10 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                 tail_ai = pick(ai, d_last == 0)
                 tail_f = tail_x - sel(tail_ai, C.L) - sel(tail_ai, C.S0)
             else:
-                tail_f = tail_x - C_L - C_S0
+                # one_rb (runtime 1.0) stops XLA folding the constant
+                # (x - l) - s0 chain into x - (l + s0) — one ULP off
+                # the oracle's two-step rounding
+                tail_f = tail_x - C_L * one_rb - C_S0
             floor_r = jnp.where(has_tail, tail_f, FINF)
             free_r = mod_s(leading - 1 - lastcar)
             placed = jnp.zeros((R, Bb), I32)
@@ -401,7 +407,8 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                         ok, xj - sel(aj, C.L) - sel(aj, C.S0), floor_r)
                 else:
                     xj = jnp.minimum(F32(C_SPAWN_X), floor_r)
-                    floor_r = jnp.where(ok, xj - C_L - C_S0, floor_r)
+                    floor_r = jnp.where(ok, xj - C_L * one_rb - C_S0,
+                                        floor_r)
                 ovf_j = attempt & full
                 ovf_cnt = ovf_cnt + ovf_j.astype(I32)
                 oki = ok.astype(I32)
@@ -497,6 +504,23 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             occ_live = occupied & (livei[None, :] > 0)
             waiting = waiting + jnp.where(occ_live, wait_inc, 0)
             detected = jnp.where(occ_live, det_cnt, detected)
+            if cfg.decel_penalty:
+                # latent DECEL_PENALTY shaping (traffic_env.py:196-198,
+                # 204-205), BEFORE the hand-off's reward contributions.
+                # k/10 is non-dyadic: fold the 4 direction blocks in
+                # ascending order (one elementwise f32 add each) — the
+                # MXU seg_add reduce would not reproduce the oracle's
+                # sequential add order.
+                decel_cnt = jax.lax.slice_in_dim(
+                    jnp.sum((mask & (dvr < 0)).astype(I32), axis=0),
+                    0, Rt, axis=0)                    # (Rt, Bb)
+                # runtime 1.0 stops strength-reduction of /10 into a
+                # reciprocal multiply (1 ULP off true division)
+                one2 = jnp.where(steps[0] >= 0, F32(1), F32(2))[None, :]
+                for d4 in range(4):
+                    blk = jax.lax.slice_in_dim(decel_cnt, d4 * I,
+                                               (d4 + 1) * I, axis=0)
+                    rewards = rewards + blk.astype(F32) / (F32(10) * one2)
 
             # -- hand-off ---------------------------------------------------
             beyond = mask & (x > length)   # mask == follower (same dL/ncars)
@@ -574,7 +598,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                 tail_f2 = (tail_x2 - sel(tail_a2, C.L)
                            - sel(tail_a2, C.S0))
             else:
-                tail_f2 = tail_x2 - C_L - C_S0
+                tail_f2 = tail_x2 - C_L * one_rb - C_S0
             floor2 = jnp.where(occ_t, tail_f2, FINF)
             dl = dT
             xp2 = jnp.zeros((S, R, Bb), F32)
@@ -594,7 +618,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                     ap2 = jnp.where(mkk, a_in[None, :, :], ap2)
                     floor2 = xin - sel(a_in, C.L) - sel(a_in, C.S0)
                 else:
-                    floor2 = xin - C_L - C_S0
+                    floor2 = xin - C_L * one_rb - C_S0
             push_mask = (dl >= 1) & (dl <= accepted[None, :, :])
             x = jnp.where(push_mask, xp2, x)
             v = jnp.where(push_mask, vp2, v)
