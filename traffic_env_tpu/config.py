@@ -123,6 +123,13 @@ class Config:
     coordinator: str = ""           # multi-host: coordinator host:port
     num_processes: int = 0          # multi-host: process count (0 = single)
     process_id: int = 0             # multi-host: this process's index
+    # The reference's latent DECEL_PENALTY reward shaping
+    # (traffic_env.py:20,196-198,204-207; shipped disabled): when on,
+    # every tick ADDS count(dv*rate < 0)/10 per training road to that
+    # road's dest reward (the reference code adds — it is a latent
+    # bonus, not a penalty, and we preserve that).  Like overflow
+    # penalties it is discarded when --remi=true recomputes rewards.
+    decel_penalty: bool = False
     # a3c/polgrad diagnostic knobs (VERDICT r2 item 3: each maps to a
     # hypothesis for the sigmoid-policy gap vs scripted greedy).
     # Defaults reproduce the reference semantics exactly.

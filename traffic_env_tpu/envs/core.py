@@ -279,7 +279,26 @@ def make_sim(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
         waiting = waiting + jnp.where(occupied, wait_inc, 0)
         # Empty roads keep their stale detector value (traffic_env.py:194).
         detected = jnp.where(occupied, det_cnt, detected)
-        return cars, waiting, detected
+        decel_cnt = jnp.sum(mask & (dvr < 0), axis=-1, dtype=I32)[:Rt] \
+            if cfg.decel_penalty else None
+        return cars, waiting, detected, decel_cnt
+
+    def _apply_decel(rewards, cnt, one):
+        """Latent DECEL_PENALTY shaping (traffic_env.py:196-198,204-205):
+        rewards[dest] += count(dvr<0)/10, one f32 add per road in
+        ascending road order.  k/10 is non-dyadic, so the order of the
+        adds is part of the bit-exact contract: train road dir*I + i
+        has dest i, so folding the (4, I) direction blocks in ascending
+        direction order reproduces the oracle's sequential loop per
+        rewards slot.  ``one`` is a runtime 1.0: multiplying the
+        constant divisor by it stops XLA from strength-reducing the
+        division into a reciprocal multiply (1 ULP off the oracle's
+        true division)."""
+        assert np.array_equal(dest_t, np.tile(np.arange(I), 4))
+        for d4 in range(4):
+            blk = jax.lax.slice_in_dim(cnt, d4 * I, (d4 + 1) * I)
+            rewards = rewards + blk.astype(F32) / (F32(10) * one)
+        return rewards
 
     # ------------------------------------------------------------------
     # hand-off: exact road-index-ordered transfer (traffic_env.py:116-135)
@@ -423,8 +442,14 @@ def make_sim(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
                                   phase, elapsed)
         waiting, detected = state.waiting, state.detected
         if ph is None or "idm" in ph:
-            cars, waiting, detected = _integrate(
+            cars, waiting, detected, decel_cnt = _integrate(
                 cars, state.leading, state.lastcar, waiting, detected)
+            if cfg.decel_penalty:
+                # decel shaping lands BEFORE advance's contributions,
+                # matching the reference's move_cars -> advance order
+                one = jnp.where(state.steps >= 0, F32(1), F32(2))
+                state = state.replace(
+                    rewards=_apply_decel(state.rewards, decel_cnt, one))
         if ph is None or "advance" in ph:
             advance_fn = _advance if handoff == "exact" else _advance_parallel
             (cars, leading, lastcar, passed, rewards, passed_dst,

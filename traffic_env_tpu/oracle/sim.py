@@ -278,14 +278,22 @@ class OracleSim:
         t = self.topo
         rate = np.float32(self.cfg.rate)
         self._update_lights()
+        decel = bool(getattr(self.cfg, "decel_penalty", False))
         for e in range(t.roads):
             lead, last = self.leading[e], self.lastcar[e]
             if lead == last:
                 continue
             istrain = t.dest[e] >= 0
             if lead < last:
-                idm_update(rate, self.cars[e, :, lead:last],
-                           self.cars[e, :, lead + 1:last + 1])
+                dvr = idm_update(rate, self.cars[e, :, lead:last],
+                                 self.cars[e, :, lead + 1:last + 1])
+                if decel and istrain:
+                    # latent DECEL_PENALTY path (traffic_env.py:196-198):
+                    # one add of count/10 per road, ascending road order.
+                    # f32 arithmetic (repo-wide float policy; numba
+                    # would promote through f64 — documented deviation).
+                    self.rewards[t.dest[e]] += (
+                        np.float32(np.sum(dvr < 0)) / np.float32(10))
                 if istrain:
                     self.waiting[e] += int(np.sum(
                         self.cars[e, V, lead + 1:last + 1] < THRESH))
@@ -295,8 +303,16 @@ class OracleSim:
                 # Wrapped buffer: mirror slot -1 into slot 0, then two
                 # contiguous segments (traffic_env.py:202-212).
                 self.cars[e, :, 0] = self.cars[e, :, -1]
-                idm_update(rate, self.cars[e, :, lead:-1], self.cars[e, :, lead + 1:])
-                idm_update(rate, self.cars[e, :, :last], self.cars[e, :, 1:last + 1])
+                dvr1 = idm_update(rate, self.cars[e, :, lead:-1],
+                                  self.cars[e, :, lead + 1:])
+                dvr2 = idm_update(rate, self.cars[e, :, :last],
+                                  self.cars[e, :, 1:last + 1])
+                if decel and istrain:
+                    # wrapped buffer: ONE add of the combined count
+                    # (traffic_env.py:204-205)
+                    self.rewards[t.dest[e]] += (
+                        np.float32(np.sum(dvr1 < 0) + np.sum(dvr2 < 0))
+                        / np.float32(10))
                 if istrain:
                     self.waiting[e] += int(np.sum(
                         self.cars[e, V, lead + 1:] < THRESH))

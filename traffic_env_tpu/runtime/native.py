@@ -45,7 +45,7 @@ def _load():
     lib.sim_create.restype = ctypes.c_void_p
     lib.sim_create.argtypes = [ctypes.c_int] * 5 + [ctypes.c_float,
                                i32p, i32p, i32p, ctypes.c_float,
-                               ctypes.c_int, ctypes.c_int]
+                               ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.sim_destroy.argtypes = [ctypes.c_void_p]
     lib.sim_reset.argtypes = [ctypes.c_void_p, i32p]
     lib.sim_step.restype = ctypes.c_int
@@ -84,7 +84,8 @@ class NativeSim:
         self._h = self.lib.sim_create(
             R, Rt, I, topo.m, topo.n, ctypes.c_float(float(topo.length)),
             _i32(topo.dest), _i32(topo.nxt), _i32(topo.phase_group),
-            ctypes.c_float(cfg.rate), int(cfg.learn_switch), int(validate))
+            ctypes.c_float(cfg.rate), int(cfg.learn_switch), int(validate),
+            int(getattr(cfg, "decel_penalty", False)))
 
     def __del__(self):
         if getattr(self, "_h", None):

@@ -56,6 +56,7 @@ struct Sim {
   float steps = 0.f;
   int64_t generated = 0;
   bool learn_switch = false;
+  bool decel_penalty = false;
   float rate = 0.5f;
   // validate-mode telemetry
   std::vector<float> trip_times;
@@ -66,8 +67,8 @@ struct Sim {
 
 // IDM update over one follower block; all reads before writes
 // (oracle.sim.idm_update).
-void idm_block(Sim& s, int road, int ld_lo, int me_lo, int count) {
-  if (count <= 0) return;
+int idm_block(Sim& s, int road, int ld_lo, int me_lo, int count) {
+  if (count <= 0) return 0;
   float* x = s.car(road, X);
   float* v = s.car(road, V);
   float* l = s.car(road, L);
@@ -78,6 +79,7 @@ void idm_block(Sim& s, int road, int ld_lo, int me_lo, int count) {
   float* s0 = s.car(road, S0);
   // temporaries so every read precedes every write (synchronous update)
   std::vector<float> nx(count), nv(count);
+  int n_decel = 0;  // DECEL_PENALTY count (traffic_env.py:196-198)
   for (int j = 0; j < count; ++j) {
     const int me = me_lo + j, ld = ld_lo + j;
     const float vv = v[me];
@@ -90,6 +92,7 @@ void idm_block(Sim& s, int road, int ld_lo, int me_lo, int count) {
     const float q = desired / (gap + kEps);
     const float dv = a[me] * (1.f - free_flow - q * q);
     const float dvr = dv * s.rate;
+    n_decel += dvr < 0.f;
     const float dx = s.rate * vv + 0.5f * dvr * s.rate;
     nx[j] = x[me] + (dx > 0.f ? dx : 0.f);
     const float vn = vv + dvr;
@@ -99,6 +102,7 @@ void idm_block(Sim& s, int road, int ld_lo, int me_lo, int count) {
     x[me_lo + j] = nx[j];
     v[me_lo + j] = nv[j];
   }
+  return n_decel;
 }
 
 bool add_car(Sim& s, int road, const float* car_in) {
@@ -145,7 +149,12 @@ void move_cars(Sim& s) {
     float* x = s.car(e, X);
     float* v = s.car(e, V);
     if (lead < last) {
-      idm_block(s, e, lead, lead + 1, last - lead);
+      const int nd = idm_block(s, e, lead, lead + 1, last - lead);
+      if (s.decel_penalty && train) {
+        // latent DECEL_PENALTY shaping (traffic_env.py:196-198): one
+        // f32 add of count/10 per road, ascending road order
+        s.rewards[s.dest[e]] += (float)nd / 10.f;
+      }
       if (train) {
         int wait = 0, det = 0;
         for (int j = lead + 1; j <= last; ++j) {
@@ -159,8 +168,13 @@ void move_cars(Sim& s) {
       // mirror slot -1 -> slot 0, then two contiguous segments
       for (int p = 0; p < kParams; ++p)
         s.car(e, p)[0] = s.car(e, p)[kCapacity - 1];
-      idm_block(s, e, lead, lead + 1, kCapacity - 1 - lead);
-      idm_block(s, e, 0, 1, last);
+      const int nd1 = idm_block(s, e, lead, lead + 1, kCapacity - 1 - lead);
+      const int nd2 = idm_block(s, e, 0, 1, last);
+      if (s.decel_penalty && train) {
+        // wrapped buffer: ONE add of the combined count
+        // (traffic_env.py:204-205)
+        s.rewards[s.dest[e]] += (float)(nd1 + nd2) / 10.f;
+      }
       if (train) {
         int wait = 0, det = 0;
         for (int j = lead + 1; j < kCapacity; ++j) {
@@ -213,7 +227,7 @@ extern "C" {
 Sim* sim_create(int roads, int train_roads, int intersections, int m, int n,
                 float length, const int32_t* dest, const int32_t* nxt,
                 const int32_t* phase_group, float rate, int learn_switch,
-                int collect_trips) {
+                int collect_trips, int decel_penalty) {
   Sim* s = new Sim();
   s->roads = roads;
   s->train_roads = train_roads;
@@ -224,6 +238,7 @@ Sim* sim_create(int roads, int train_roads, int intersections, int m, int n,
   s->rate = rate;
   s->learn_switch = learn_switch != 0;
   s->collect_trips = collect_trips != 0;
+  s->decel_penalty = decel_penalty != 0;
   s->dest.assign(dest, dest + roads);
   s->nxt.assign(nxt, nxt + roads);
   s->phase_group.assign(phase_group, phase_group + roads);
