@@ -291,3 +291,31 @@ def test_qrnn_variable_length_traces(tmp_path):
     lens = np.asarray(ts.replay.lens)[:int(ts.replay.filled)]
     assert (lens >= 1).all() and (lens <= cfg.episode_len).all()
     assert (lens < cfg.episode_len).any(), lens   # early overflow seen
+
+
+@pytest.mark.parametrize("trainer", ["a3c", "polgrad_rnn"])
+def test_norm_adv_changes_update(trainer, tmp_path):
+    """--norm_adv standardizes the policy-gradient signal per update
+    window (advantages for a3c; avg-mode REINFORCE returns for
+    polgrad_rnn — the reference only standardizes in discounted mode,
+    polgrad_rnn.py:32-35).  The knob must be live: one training episode
+    from identical initial state produces different params, and both
+    paths stay finite."""
+    from traffic_env_tpu.algorithms import a3c, polgrad_rnn
+    mod = {"a3c": a3c, "polgrad_rnn": polgrad_rnn}[trainer]
+    # polgrad accumulates grads over batch_size episodes before the
+    # Adam apply — batch_size=1 so one episode visibly moves params
+    kw = dict(BASE, total_episodes=1, batch_size=1)
+    leaves = {}
+    for na in (False, True):
+        cfg = Config(trainer=trainer, norm_adv=na,
+                     logdir=str(tmp_path / f"{trainer}{na}"),
+                     **kw).derive()
+        assert cfg.use_avg or trainer == "a3c"
+        ctx, ts = mod.make_state(cfg)
+        ts, _ = ctx.run_episode(ts)
+        flat = jnp.concatenate([jnp.ravel(x) for x in
+                                jax.tree.leaves(ts.params)])
+        assert bool(jnp.isfinite(flat).all())
+        leaves[na] = np.asarray(flat)
+    assert not np.array_equal(leaves[False], leaves[True])

@@ -105,7 +105,12 @@ def make_fns(cfg: Config, benv):
         # vector per action head, polgrad_rnn.py:19,28-31)
         epr = discount(rs, cfg.gamma, cfg.use_avg,
                        nd=1.0 - ds.astype(F32))
-        if not cfg.use_avg:
+        # Reference semantics standardize returns only in discounted
+        # mode (polgrad_rnn.py:32-35); --norm_adv extends the same
+        # standardization to avg-reward mode (the traffic driver forces
+        # use_avg), decoupling the REINFORCE gradient scale from the
+        # reward units — same scale fix as a3c's norm_adv.
+        if cfg.norm_adv or not cfg.use_avg:
             epr = (epr - jnp.mean(epr)) / (jnp.std(epr) + EPS)
         (loss, grads) = jax.value_and_grad(loss_fn)(ts.params, xs, ys, epr)
         grad_acc = jax.tree.map(jnp.add, ts.grad_acc, grads)
