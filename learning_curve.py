@@ -66,6 +66,8 @@ def main():
     p.add_argument("--entropy_coef", type=float, default=0.001)
     p.add_argument("--reward_scale", type=float, default=100.0)
     p.add_argument("--norm_adv", action="store_true")
+    p.add_argument("--history", type=int, default=0,
+                   help="0 = per-trainer default (qlearn derives 20)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="")
     p.add_argument("--platform", type=str, default="",
@@ -97,6 +99,7 @@ def main():
         entropy_coef=args.entropy_coef, reward_scale=args.reward_scale,
         norm_adv=args.norm_adv,
         logdir=f"/tmp/curve_{args.trainer}_{args.grid}x{args.grid}",
+        **({"history": args.history} if args.history else {}),
     ).derive()
 
     bl = baseline_rewards(cfg)
