@@ -68,6 +68,10 @@ def main():
     p.add_argument("--norm_adv", action="store_true")
     p.add_argument("--history", type=int, default=0,
                    help="0 = per-trainer default (qlearn derives 20)")
+    p.add_argument("--bc_episodes", type=int, default=0,
+                   help="a3c: scripted-greedy imitation warm start")
+    p.add_argument("--start_eps", type=float, default=0.8)
+    p.add_argument("--end_eps", type=float, default=0.05)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="")
     p.add_argument("--platform", type=str, default="",
@@ -94,7 +98,8 @@ def main():
         mesh_shape=args.mesh_shape, learning_rate=args.learning_rate,
         gamma=args.gamma, lam=args.lam,
         batch_size=batch, buffer_size=args.buffer_size,
-        annealing_episodes=anneal, start_eps=0.8, end_eps=0.05,
+        annealing_episodes=anneal, start_eps=args.start_eps,
+        end_eps=args.end_eps, bc_episodes=args.bc_episodes,
         target_update_rate=30, seed=args.seed,
         entropy_coef=args.entropy_coef, reward_scale=args.reward_scale,
         norm_adv=args.norm_adv,

@@ -1,0 +1,102 @@
+"""Behavior-cloning warm start for a3c (--bc_episodes).
+
+The BC expert is the scripted greedy baseline with its ``t % spacing``
+gate forced open (a spacing-1 greedy scores the same as the spacing-3
+baseline but is a pure function of the observable state, which is what
+supervised imitation needs).  During the first ``bc_episodes`` episodes
+the rollout behaves with the expert and the policy loss is sigmoid-CE
+on the expert's actions; afterwards the standard A2C path resumes
+unchanged (the default bc_episodes=0 path is gated at trace time).
+
+Reference role: the reference's baselines exist "for comparison"
+(README.md:4); imitation is an extension, like --occupancy_obs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from traffic_env_tpu.config import Config
+from traffic_env_tpu.algorithms import a3c
+from traffic_env_tpu.algorithms.baselines import (episode_runner,
+                                                  make_policies)
+from traffic_env_tpu.algorithms.common import build_env
+
+
+def _cfg(**kw):
+    base = dict(trainer="a3c", grid_m=1, grid_n=2, num_envs=8,
+                batch_size=5, seed=3, logdir="/tmp/bc_test")
+    base.update(kw)
+    return Config(**base).derive()
+
+
+def test_bc_rollout_follows_expert():
+    """During the BC phase the env trajectory is EXACTLY what stepping
+    with the scripted (spacing-1) greedy expert produces."""
+    cfg = _cfg(bc_episodes=10)
+    ctx, ts = a3c.make_state(cfg)
+    ts2, _ = ctx.run_window(ts)
+
+    # replay: step the same env with the expert policy externally
+    topo, cfg2, benv = build_env(cfg)
+    greedy = make_policies(cfg2, ctx.benv, topo)["greedy"]
+    env = ts.env
+    key = jax.random.key(123)   # greedy ignores the key
+    for _ in range(cfg.batch_size):
+        a_raw, _ = greedy(jnp.int32(0), key, env, env.sim.phase)
+        env, _, _, _, _ = ctx.benv.step_autoreset_lazy(env, a_raw)
+
+    for name in ("phase", "elapsed", "leading", "lastcar", "cars"):
+        a = np.asarray(getattr(ts2.env.sim, name))
+        b = np.asarray(getattr(env.sim, name))
+        assert np.array_equal(a, b), f"sim.{name} diverged from expert"
+
+
+def test_bc_phase_ends_at_bc_episodes():
+    """Past bc_episodes the rollout stops following the expert (the
+    trajectory diverges from pure expert stepping)."""
+    cfg = _cfg(bc_episodes=1, start_eps=0.8, end_eps=0.8)
+    ctx, ts = a3c.make_state(cfg)
+    ts = ts.replace(episode=jnp.int32(5))   # past the BC phase
+    ts2, _ = ctx.run_window(ts)
+
+    topo, cfg2, benv = build_env(cfg)
+    greedy = make_policies(cfg2, ctx.benv, topo)["greedy"]
+    env = ts.env
+    key = jax.random.key(123)
+    for _ in range(cfg.batch_size):
+        a_raw, _ = greedy(jnp.int32(0), key, env, env.sim.phase)
+        env, _, _, _, _ = ctx.benv.step_autoreset_lazy(env, a_raw)
+
+    diverged = any(
+        not np.array_equal(np.asarray(getattr(ts2.env.sim, n)),
+                           np.asarray(getattr(env.sim, n)))
+        for n in ("phase", "cars"))
+    assert diverged, "post-BC rollout still mirrors the expert"
+
+
+@pytest.mark.slow
+def test_bc_reaches_scripted_greedy():
+    """Supervised imitation alone brings greedy validation to >=85% of
+    the scripted greedy baseline on the 1x2 workload."""
+    cfg = _cfg(num_envs=64, batch_size=30, bc_episodes=1000,
+               learning_rate=1e-3, occupancy_obs=True,
+               start_eps=0.05, end_eps=0.05, seed=0)
+    ctx, ts = a3c.make_state(cfg)
+
+    topo, cfg2, benv = build_env(cfg)
+    runner = episode_runner(cfg2, benv, make_policies(cfg2, benv,
+                                                      topo)["greedy"])
+    env = benv.init(jax.random.key(cfg.seed))
+    key = jax.random.key(cfg.seed + 1)
+    totals = []
+    for _ in range(3):
+        env, key, total, *_ = runner(env, key)
+        totals.append(float(total))
+    greedy_ref = sum(totals) / len(totals)
+
+    for _ in range(50):
+        ts, _ = ctx.run_episode(ts)
+    val = float(ctx.greedy_episode(ts)[0])
+    assert val >= 0.85 * greedy_ref, (val, greedy_ref)

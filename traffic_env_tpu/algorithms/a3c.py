@@ -89,7 +89,27 @@ def make_fns(cfg: Config, benv, topo):
         scores, value, carry = net.apply(params, obs[:, None, :], carry)
         return scores[:, 0], value[:, 0], carry
 
-    def rollout(params, env, obs, carry, key, eps, greedy=False):
+    if cfg.bc_episodes:
+        from .baselines import make_policies
+        _greedy_expert = make_policies(cfg, benv, topo)["greedy"]
+
+        def expert_action(key, env):
+            """Scripted-greedy action in the learner's encoding.  The
+            BC expert picks EVERY step (t=0 forces the baseline's
+            ``t % spacing`` gate open): a spacing-1 greedy scores the
+            same as the spacing-3 baseline but, unlike the t-gated
+            variant, is a pure function of the observable state — which
+            is what supervised imitation needs (pair with
+            --occupancy_obs so the policy sees the expert's
+            cars_on_roads signal)."""
+            raw, _ = _greedy_expert(jnp.int32(0), key, env,
+                                    env.sim.phase)
+            if cfg.learn_switch:
+                raw = jnp.logical_xor(raw, env.sim.phase).astype(I32)
+            return jnp.moveaxis(raw, -1, 0)   # (I, B) -> learner (B, I)
+
+    def rollout(params, env, obs, carry, key, eps, greedy=False,
+                bc=None):
         def body(c, _):
             env, obs, carry, key = c
             key, k = jax.random.split(key)
@@ -97,6 +117,8 @@ def make_fns(cfg: Config, benv, topo):
             scores, value, carry2 = forward(params, obs_bf, carry)
             a = sigmoid_greedy(scores) if greedy else \
                 sigmoid_decision(k, scores, eps, cfg.exploration)
+            if cfg.bc_episodes:
+                a = jnp.where(bc, expert_action(k, env), a)
             env, obs1, rew, done, _ = benv.step_autoreset_lazy(
                 env, jnp.moveaxis(a, 0, -1))
             # GRU carry resets at auto-reset boundaries (the reference
@@ -144,9 +166,10 @@ def make_fns(cfg: Config, benv, topo):
         eps = anneal(cfg.start_eps, cfg.end_eps, cfg.annealing_episodes,
                      ts.episode)
         carry0 = ts.gru
+        bc = ts.episode < cfg.bc_episodes if cfg.bc_episodes else None
         (env, obs, carry, key,
          (obs_seq, act_seq, rew_seq, val_seq, done_seq)) = rollout(
-             ts.params, ts.env, ts.obs, ts.gru, ts.key, eps)
+             ts.params, ts.env, ts.obs, ts.gru, ts.key, eps, bc=bc)
         # bootstrap value of the final obs (a3c.py:121-124)
         _, v_boot, _ = forward(ts.params, flat_bf(obs), carry)
         rew_seq = rew_seq / F32(cfg.reward_scale)     # a3c.py:126
@@ -156,6 +179,10 @@ def make_fns(cfg: Config, benv, topo):
             # per-window advantage standardization (diagnostic knob:
             # decouples the policy-gradient scale from reward_scale)
             adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + F32(1e-6))
+        if cfg.bc_episodes:
+            # BC phase: supervised sigmoid-CE on the expert's actions
+            # (unit weight); the value head still fits returns
+            adv = jnp.where(bc, jnp.ones_like(adv), adv)
         adv = jax.lax.stop_gradient(adv)
         returns = jax.lax.stop_gradient(returns)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -137,6 +137,15 @@ class Config:
     reward_scale: float = 100.0     # a3c.py:126 reward divisor
     norm_adv: bool = False          # standardize advantages per window
                                     # (off in the reference)
+    # Imitation warm start (extension, like --occupancy_obs): for the
+    # first bc_episodes episodes a3c behaves with the scripted-greedy
+    # expert (baselines.py greedy, reference greedy.py:12-16) and the
+    # policy loss is supervised sigmoid-CE on the expert's actions; the
+    # value head fits returns under expert behavior, so fine-tuning
+    # starts from V^greedy with a greedy-level policy.  0 = off (the
+    # reference has no imitation path; its baselines exist only for
+    # comparison, README.md:4).
+    bc_episodes: int = 0
 
     # -- derived (filled by derive()) -------------------------------------
     light_iterations: int = 10
