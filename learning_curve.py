@@ -70,6 +70,10 @@ def main():
                    help="0 = per-trainer default (qlearn derives 20)")
     p.add_argument("--bc_episodes", type=int, default=0,
                    help="a3c: scripted-greedy imitation warm start")
+    p.add_argument("--finetune_lr", type=float, default=0.0,
+                   help="a3c: post-BC learning rate (0 = learning_rate)")
+    p.add_argument("--bc_gated", action="store_true",
+                   help="BC expert keeps the baseline's t%%spacing gate")
     p.add_argument("--start_eps", type=float, default=0.8)
     p.add_argument("--end_eps", type=float, default=0.05)
     p.add_argument("--seed", type=int, default=0)
@@ -100,6 +104,7 @@ def main():
         batch_size=batch, buffer_size=args.buffer_size,
         annealing_episodes=anneal, start_eps=args.start_eps,
         end_eps=args.end_eps, bc_episodes=args.bc_episodes,
+        finetune_lr=args.finetune_lr, bc_gated=args.bc_gated,
         target_update_rate=30, seed=args.seed,
         entropy_coef=args.entropy_coef, reward_scale=args.reward_scale,
         norm_adv=args.norm_adv,

@@ -53,6 +53,29 @@ def test_bc_rollout_follows_expert():
         assert np.array_equal(a, b), f"sim.{name} diverged from expert"
 
 
+def test_bc_gated_rollout_follows_spacing_expert():
+    """With bc_gated the BC trajectory matches stepping with the ACTUAL
+    scripted baseline: re-pick at t % spacing == 0, hold the phase
+    between picks."""
+    cfg = _cfg(bc_episodes=10, bc_gated=True, spacing=3, batch_size=7)
+    ctx, ts = a3c.make_state(cfg)
+    ts2, _ = ctx.run_window(ts)
+
+    topo, cfg2, benv = build_env(cfg)
+    greedy = make_policies(cfg2, ctx.benv, topo)["greedy"]
+    env = ts.env
+    key = jax.random.key(123)
+    held = env.sim.phase
+    for t in range(cfg.batch_size):
+        a_raw, held = greedy(jnp.int32(t), key, env, env.sim.phase)
+        env, _, _, _, _ = ctx.benv.step_autoreset_lazy(env, a_raw)
+
+    for name in ("phase", "elapsed", "leading", "lastcar", "cars"):
+        a = np.asarray(getattr(ts2.env.sim, name))
+        b = np.asarray(getattr(env.sim, name))
+        assert np.array_equal(a, b), f"sim.{name} diverged from expert"
+
+
 def test_bc_phase_ends_at_bc_episodes():
     """Past bc_episodes the rollout stops following the expert (the
     trajectory diverges from pure expert stepping)."""

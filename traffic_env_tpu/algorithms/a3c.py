@@ -77,8 +77,18 @@ def make_fns(cfg: Config, benv, topo):
     else:
         net = A3CNet(n_actions=I, reward_size=benv.env.reward_size)
         gru0 = lambda: jnp.zeros((B, net.hidden), F32)
+    if cfg.bc_episodes and cfg.finetune_lr:
+        # step-count boundary of the BC phase (optimizer updates are
+        # one per rollout window)
+        bc_windows = cfg.bc_episodes * max(1, cfg.episode_len
+                                           // cfg.batch_size)
+        lr = optax.piecewise_constant_schedule(
+            cfg.learning_rate,
+            {bc_windows: cfg.finetune_lr / cfg.learning_rate})
+    else:
+        lr = cfg.learning_rate
     tx = optax.chain(optax.clip_by_global_norm(40.0),
-                     optax.adam(cfg.learning_rate))
+                     optax.adam(lr))
 
     def flat_bf(obs):
         """trailing-batch obs (possibly history-stacked) -> (B, feats)"""
@@ -93,24 +103,23 @@ def make_fns(cfg: Config, benv, topo):
         from .baselines import make_policies
         _greedy_expert = make_policies(cfg, benv, topo)["greedy"]
 
-        def expert_action(key, env):
-            """Scripted-greedy action in the learner's encoding.  The
-            BC expert picks EVERY step (t=0 forces the baseline's
-            ``t % spacing`` gate open): a spacing-1 greedy scores the
-            same as the spacing-3 baseline but, unlike the t-gated
-            variant, is a pure function of the observable state — which
-            is what supervised imitation needs (pair with
+        def expert_action(t, key, env):
+            """Scripted-greedy action in the learner's encoding.  With
+            bc_gated the expert is the actual scripted baseline
+            (re-picks every ``spacing`` steps, holding the current
+            phase between picks); otherwise t=0 forces the gate open
+            (a spacing-1 greedy, memoryless in the obs).  Pair with
             --occupancy_obs so the policy sees the expert's
-            cars_on_roads signal)."""
-            raw, _ = _greedy_expert(jnp.int32(0), key, env,
-                                    env.sim.phase)
+            cars_on_roads signal."""
+            t = t if cfg.bc_gated else jnp.int32(0)
+            raw, _ = _greedy_expert(t, key, env, env.sim.phase)
             if cfg.learn_switch:
                 raw = jnp.logical_xor(raw, env.sim.phase).astype(I32)
             return jnp.moveaxis(raw, -1, 0)   # (I, B) -> learner (B, I)
 
     def rollout(params, env, obs, carry, key, eps, greedy=False,
-                bc=None):
-        def body(c, _):
+                bc=None, t0=None):
+        def body(c, t):
             env, obs, carry, key = c
             key, k = jax.random.split(key)
             obs_bf = flat_bf(obs)
@@ -118,7 +127,7 @@ def make_fns(cfg: Config, benv, topo):
             a = sigmoid_greedy(scores) if greedy else \
                 sigmoid_decision(k, scores, eps, cfg.exploration)
             if cfg.bc_episodes:
-                a = jnp.where(bc, expert_action(k, env), a)
+                a = jnp.where(bc, expert_action(t, k, env), a)
             env, obs1, rew, done, _ = benv.step_autoreset_lazy(
                 env, jnp.moveaxis(a, 0, -1))
             # GRU carry resets at auto-reset boundaries (the reference
@@ -130,8 +139,15 @@ def make_fns(cfg: Config, benv, topo):
                    value, done)
             return (env, obs1, carry2, key), out
 
+        # within-episode step index for the gated expert (episode_len is
+        # a multiple of batch_size, so the global step is congruent to
+        # the episode step mod spacing)
+        xs = None
+        if cfg.bc_episodes:
+            xs = (jnp.int32(0) if t0 is None else t0.astype(I32)) + \
+                jnp.arange(cfg.batch_size, dtype=I32)
         (env, obs, carry, key), seq = jax.lax.scan(
-            body, (env, obs, carry, key), None, length=cfg.batch_size)
+            body, (env, obs, carry, key), xs, length=cfg.batch_size)
         return env, obs, carry, key, seq
 
     def loss_fn(params, obs_seq, act_seq, adv, returns, done_seq,
@@ -169,7 +185,8 @@ def make_fns(cfg: Config, benv, topo):
         bc = ts.episode < cfg.bc_episodes if cfg.bc_episodes else None
         (env, obs, carry, key,
          (obs_seq, act_seq, rew_seq, val_seq, done_seq)) = rollout(
-             ts.params, ts.env, ts.obs, ts.gru, ts.key, eps, bc=bc)
+             ts.params, ts.env, ts.obs, ts.gru, ts.key, eps, bc=bc,
+             t0=ts.step)
         # bootstrap value of the final obs (a3c.py:121-124)
         _, v_boot, _ = forward(ts.params, flat_bf(obs), carry)
         rew_seq = rew_seq / F32(cfg.reward_scale)     # a3c.py:126

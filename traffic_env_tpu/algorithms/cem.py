@@ -43,33 +43,55 @@ class CEMCtx(NamedTuple):
 from typing import Any  # noqa: E402
 
 
-def make_eval(cfg: Config, benv):
-    """Batched population evaluation: env i uses theta_i."""
+def make_eval(cfg: Config, benv, sample_size: int = SAMPLE_SIZE):
+    """Batched population evaluation: candidate k runs on envs
+    k*tries..(k+1)*tries-1 and its score is the mean over those
+    rollouts — the reference's num_tries averaging (cem.py:12, declared
+    but dropped by the `for _ in range(1)` latent defect at cem.py:36;
+    here it is real and just widens the env batch)."""
     I = benv.n_intersections
     obs_dim = benv.env.obs_dim
+    tries = max(1, benv.n_envs // sample_size)
 
     @jax.jit
     def evaluate(env, thetas, key):
-        """thetas (B, obs_dim, I) -> per-env discounted returns (B,)."""
+        """thetas (S, obs_dim, I) -> per-candidate per-intersection
+        returns (S, I) (the reference's vector ys, cem.py:40-43)."""
+        reps = jnp.repeat(thetas, tries, axis=0)       # (B, obs_dim, I)
         env, obs = benv.reset(env)
 
         def body(c, t):
             env, obs, total, mult = c
             obs_bf = jnp.moveaxis(obs, -1, 0)          # (B, obs_dim)
-            scores = jnp.einsum("bo,boi->bi", obs_bf, thetas)
+            scores = jnp.einsum("bo,boi->bi", obs_bf, reps)
             a = (scores < 0).astype(jnp.int32)         # cem.py:39
             env, obs1, rew, done, _ = benv.step_autoreset_lazy(
                 env, jnp.moveaxis(a, 0, -1))
-            r = jnp.mean(jnp.moveaxis(rew, -1, 0), axis=-1)  # (B,)
+            r = jnp.moveaxis(rew, -1, 0)               # (B, I)
             total = total + r * (mult if cfg.print_discounted else 1.0)
             return (env, obs1, total, mult * cfg.gamma), None
 
         (env, _, total, _), _ = jax.lax.scan(
-            body, (env, obs, jnp.zeros(benv.n_envs, F32), F32(1)),
+            body, (env, obs, jnp.zeros((benv.n_envs, I), F32), F32(1)),
             jnp.arange(cfg.episode_len))
-        return env, total
+        ys = total.reshape(-1, tries, I).mean(axis=1)  # (S, I)
+        return env, ys
 
     return evaluate
+
+
+def refit(ths, ys, n_elite):
+    """Elite refit.  With vector returns the reference selects elites
+    PER INTERSECTION (ys.argsort(axis=0) + the expand_dims gather,
+    cem.py:21-25): each theta column is refit from the candidates that
+    scored best at THAT intersection — per-agent credit assignment the
+    scalar reduction would destroy."""
+    if ys.ndim > 1:
+        idx = np.argsort(ys, axis=0)[-n_elite:]        # (n, I)
+        elite = np.take_along_axis(ths, idx[:, None, :], axis=0)
+    else:
+        elite = ths[np.argsort(ys)[-n_elite:]]
+    return elite.mean(axis=0), elite.std(axis=0)
 
 
 def curve(cfg: Config, n_iter: int = N_ITER, validate_every: int = 5):
@@ -80,7 +102,7 @@ def curve(cfg: Config, n_iter: int = N_ITER, validate_every: int = 5):
     sum-over-steps-of-mean-reward scalar ``baselines.episode_runner``
     reports, so curves/cem_3x3.json is directly comparable to
     random/fixed/greedy."""
-    topo, cfg, benv = build_env(cfg, n_envs=SAMPLE_SIZE)
+    topo, cfg, benv = build_env(cfg, n_envs=SAMPLE_SIZE * cfg.num_tries)
     evaluate = make_eval(cfg, benv)
     I = benv.n_intersections
     obs_dim = benv.env.obs_dim
@@ -105,10 +127,7 @@ def curve(cfg: Config, n_iter: int = N_ITER, validate_every: int = 5):
         ths = (rng.randn(SAMPLE_SIZE, *shape).astype(np.float32)
                * th_std + th_mean)
         env, ys = evaluate(env, jnp.asarray(ths), key)
-        ys = np.asarray(ys)
-        elite = ths[np.argsort(ys)[-n_elite:]]
-        th_mean = elite.mean(axis=0)
-        th_std = elite.std(axis=0)
+        th_mean, th_std = refit(ths, np.asarray(ys), n_elite)
         if it % validate_every == 0 or it == n_iter:
             env = refresh_env_schedule(benv, env)
             env, v = eval_mean(env, th_mean)
@@ -119,7 +138,7 @@ def curve(cfg: Config, n_iter: int = N_ITER, validate_every: int = 5):
 
 
 def run(cfg: Config):
-    topo, cfg, benv = build_env(cfg, n_envs=SAMPLE_SIZE)
+    topo, cfg, benv = build_env(cfg, n_envs=SAMPLE_SIZE * cfg.num_tries)
     evaluate = make_eval(cfg, benv)
     I = benv.n_intersections
     obs_dim = benv.env.obs_dim
@@ -148,9 +167,7 @@ def run(cfg: Config):
                    * th_std + th_mean)
             env, ys = evaluate(env, jnp.asarray(ths), key)
             ys = np.asarray(ys)
-            elite = ths[np.argsort(ys)[-n_elite:]]
-            th_mean = elite.mean(axis=0)
-            th_std = elite.std(axis=0)
+            th_mean, th_std = refit(ths, ys, n_elite)
             means.append(float(ys.mean()))
             print(f"iter {it}: mean return {ys.mean():.4f} "
                   f"best {ys.max():.4f}")

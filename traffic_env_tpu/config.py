@@ -146,6 +146,25 @@ class Config:
     # reference has no imitation path; its baselines exist only for
     # comparison, README.md:4).
     bc_episodes: int = 0
+    # BC expert gating: False imitates a spacing-1 greedy (picks every
+    # step; memoryless in the obs).  True imitates the actual scripted
+    # baseline with its t % spacing hold (greedy.py:12-16) — the gate
+    # is a deterministic function of the episode step, which a
+    # recurrent policy can learn (the GRU carry is zeroed at episode
+    # start, so it implicitly knows t).  On the benchmark 3x3 the gated
+    # expert scores 1.553 vs 1.493 for spacing-1 (fewer yellow-phase
+    # stalls), so the gated expert is the higher BC ceiling.
+    bc_gated: bool = False
+    # Post-BC fine-tune learning rate (0 = keep learning_rate).  The
+    # supervised BC phase tolerates a much larger step size than the
+    # on-policy fine-tune that follows it — at the shared default the
+    # A2C updates walk the imitated policy away from the expert.
+    finetune_lr: float = 0.0
+    # CEM rollouts per sample (reference cem.py:12 num_tries — declared
+    # there but dropped by the `for _ in range(1)` defect at cem.py:36;
+    # real here: candidate k averages over its own `num_tries` envs in
+    # one widened lockstep batch)
+    num_tries: int = 1
 
     # -- derived (filled by derive()) -------------------------------------
     light_iterations: int = 10
