@@ -74,6 +74,8 @@ def main():
                    help="a3c: post-BC learning rate (0 = learning_rate)")
     p.add_argument("--bc_gated", action="store_true",
                    help="BC expert keeps the baseline's t%%spacing gate")
+    p.add_argument("--bc_anchor", type=float, default=0.0,
+                   help="a3c: post-BC expert-CE anchor weight")
     p.add_argument("--start_eps", type=float, default=0.8)
     p.add_argument("--end_eps", type=float, default=0.05)
     p.add_argument("--seed", type=int, default=0)
@@ -105,6 +107,7 @@ def main():
         annealing_episodes=anneal, start_eps=args.start_eps,
         end_eps=args.end_eps, bc_episodes=args.bc_episodes,
         finetune_lr=args.finetune_lr, bc_gated=args.bc_gated,
+        bc_anchor=args.bc_anchor,
         target_update_rate=30, seed=args.seed,
         entropy_coef=args.entropy_coef, reward_scale=args.reward_scale,
         norm_adv=args.norm_adv,
@@ -125,6 +128,7 @@ def main():
             "workload": f"{args.grid}x{args.grid} grid, "
                         f"{cem.SAMPLE_SIZE} envs (CEM population), "
                         "trainer cem",
+            "args": vars(args),
             "baselines": bl, "curve": curve, "best_greedy": best,
             "beats_scripted_greedy": best > bl.get("greedy",
                                                    float("inf")),
@@ -160,6 +164,7 @@ def main():
                     + (" conv_gru" if args.conv_gru else "")
                     + (f" mesh {args.mesh_shape}" if args.mesh_shape
                        else ""),
+        "args": vars(args),
         "baselines": bl,
         "curve": curve,
         "best_greedy": best,

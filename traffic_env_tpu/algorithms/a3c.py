@@ -99,7 +99,8 @@ def make_fns(cfg: Config, benv, topo):
         scores, value, carry = net.apply(params, obs[:, None, :], carry)
         return scores[:, 0], value[:, 0], carry
 
-    if cfg.bc_episodes:
+    want_expert = bool(cfg.bc_episodes) or cfg.bc_anchor > 0
+    if want_expert:
         from .baselines import make_policies
         _greedy_expert = make_policies(cfg, benv, topo)["greedy"]
 
@@ -126,8 +127,9 @@ def make_fns(cfg: Config, benv, topo):
             scores, value, carry2 = forward(params, obs_bf, carry)
             a = sigmoid_greedy(scores) if greedy else \
                 sigmoid_decision(k, scores, eps, cfg.exploration)
+            ea = expert_action(t, k, env) if want_expert else None
             if cfg.bc_episodes:
-                a = jnp.where(bc, expert_action(t, k, env), a)
+                a = jnp.where(bc, ea, a)
             env, obs1, rew, done, _ = benv.step_autoreset_lazy(
                 env, jnp.moveaxis(a, 0, -1))
             # GRU carry resets at auto-reset boundaries (the reference
@@ -137,13 +139,15 @@ def make_fns(cfg: Config, benv, topo):
                 0.0, carry2)
             out = (obs_bf, a.astype(F32), jnp.moveaxis(rew, -1, 0),
                    value, done)
+            if want_expert:
+                out = out + (ea.astype(F32),)
             return (env, obs1, carry2, key), out
 
         # within-episode step index for the gated expert (episode_len is
         # a multiple of batch_size, so the global step is congruent to
         # the episode step mod spacing)
         xs = None
-        if cfg.bc_episodes:
+        if want_expert:
             xs = (jnp.int32(0) if t0 is None else t0.astype(I32)) + \
                 jnp.arange(cfg.batch_size, dtype=I32)
         (env, obs, carry, key), seq = jax.lax.scan(
@@ -151,7 +155,7 @@ def make_fns(cfg: Config, benv, topo):
         return env, obs, carry, key, seq
 
     def loss_fn(params, obs_seq, act_seq, adv, returns, done_seq,
-                carry0):
+                carry0, expert_seq=None, anchor_w=None):
         # EXACT window replay: the GRU carry is re-zeroed at the same
         # auto-reset boundaries the rollout saw (done at step t cuts
         # the carry feeding step t+1), so loss-side hidden states match
@@ -168,6 +172,12 @@ def make_fns(cfg: Config, benv, topo):
             step, carry0, (obs_seq, done_seq))     # (T, B, ...)
         ce = optax.sigmoid_binary_cross_entropy(scores, act_seq)
         policy_loss = jnp.mean(jnp.sum(adv * ce, axis=-1))
+        if expert_seq is not None:
+            # DAgger-style anchor toward the expert's decisions on the
+            # visited states (see Config.bc_anchor)
+            ce_e = optax.sigmoid_binary_cross_entropy(scores, expert_seq)
+            policy_loss = policy_loss + anchor_w * jnp.mean(
+                jnp.sum(ce_e, axis=-1))
         value_loss = 0.5 * jnp.mean(jnp.sum(
             jnp.square(returns - values), axis=-1))
         from .exploration import entropy as _entropy
@@ -183,10 +193,11 @@ def make_fns(cfg: Config, benv, topo):
                      ts.episode)
         carry0 = ts.gru
         bc = ts.episode < cfg.bc_episodes if cfg.bc_episodes else None
-        (env, obs, carry, key,
-         (obs_seq, act_seq, rew_seq, val_seq, done_seq)) = rollout(
-             ts.params, ts.env, ts.obs, ts.gru, ts.key, eps, bc=bc,
-             t0=ts.step)
+        env, obs, carry, key, seq = rollout(
+            ts.params, ts.env, ts.obs, ts.gru, ts.key, eps, bc=bc,
+            t0=ts.step)
+        obs_seq, act_seq, rew_seq, val_seq, done_seq = seq[:5]
+        expert_seq = seq[5] if want_expert else None
         # bootstrap value of the final obs (a3c.py:121-124)
         _, v_boot, _ = forward(ts.params, flat_bf(obs), carry)
         rew_seq = rew_seq / F32(cfg.reward_scale)     # a3c.py:126
@@ -202,8 +213,17 @@ def make_fns(cfg: Config, benv, topo):
             adv = jnp.where(bc, jnp.ones_like(adv), adv)
         adv = jax.lax.stop_gradient(adv)
         returns = jax.lax.stop_gradient(returns)
+        if cfg.bc_anchor > 0:
+            # the anchor activates post-BC only (the BC phase's policy
+            # loss already IS unit-weight expert CE)
+            anchor_w = F32(cfg.bc_anchor)
+            if bc is not None:
+                anchor_w = jnp.where(bc, F32(0), anchor_w)
+        else:
+            expert_seq, anchor_w = None, None
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            ts.params, obs_seq, act_seq, adv, returns, done_seq, carry0)
+            ts.params, obs_seq, act_seq, adv, returns, done_seq, carry0,
+            expert_seq, anchor_w)
         updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
         ts = ts.replace(params=params, opt_state=opt_state, env=env,

@@ -160,6 +160,16 @@ class Config:
     # on-policy fine-tune that follows it — at the shared default the
     # A2C updates walk the imitated policy away from the expert.
     finetune_lr: float = 0.0
+    # Post-BC anchor: weight of a continued expert sigmoid-CE term in
+    # the fine-tune loss (a DAgger-style regularizer).  The round-3 BC
+    # curve peaked at the BC boundary and then decayed (curves/
+    # a3c_3x3_bc.json 1.463 -> 1.414): nothing anchors the A2C updates
+    # to the imitated policy.  With bc_anchor > 0 the fine-tune loss
+    # adds anchor * CE(scores, expert actions) computed on the expert's
+    # on-the-fly decisions for the SAME states the policy visited, so
+    # the advantage term can only move the policy where its signal
+    # outweighs the anchor.  0 = off (pure reference semantics).
+    bc_anchor: float = 0.0
     # CEM rollouts per sample (reference cem.py:12 num_tries — declared
     # there but dropped by the `for _ in range(1)` defect at cem.py:36;
     # real here: candidate k averages over its own `num_tries` envs in
