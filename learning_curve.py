@@ -76,6 +76,8 @@ def main():
                    help="BC expert keeps the baseline's t%%spacing gate")
     p.add_argument("--bc_anchor", type=float, default=0.0,
                    help="a3c: post-BC expert-CE anchor weight")
+    p.add_argument("--sil", action="store_true",
+                   help="a3c: positive-advantage-only policy loss")
     p.add_argument("--start_eps", type=float, default=0.8)
     p.add_argument("--end_eps", type=float, default=0.05)
     p.add_argument("--seed", type=int, default=0)
@@ -107,7 +109,7 @@ def main():
         annealing_episodes=anneal, start_eps=args.start_eps,
         end_eps=args.end_eps, bc_episodes=args.bc_episodes,
         finetune_lr=args.finetune_lr, bc_gated=args.bc_gated,
-        bc_anchor=args.bc_anchor,
+        bc_anchor=args.bc_anchor, sil=args.sil,
         target_update_rate=30, seed=args.seed,
         entropy_coef=args.entropy_coef, reward_scale=args.reward_scale,
         norm_adv=args.norm_adv,

@@ -159,3 +159,25 @@ def test_bc_anchor_active_after_bc_phase():
         for a, b in zip(jax.tree.leaves(ts0.params),
                         jax.tree.leaves(ts1.params)))
     assert diff, "bc_anchor>0 did not change the fine-tune update"
+
+
+def test_grad_summary_histograms():
+    """--grad_summary emits the reference's histogram names (scores,
+    probs, obs_grad{i}, state_grad{i}; a3c.py:41-46, util.py:13,85)."""
+    cfg = _cfg(grad_summary=True)
+    ctx, ts = a3c.make_state(cfg)
+
+    class Rec:
+        def __init__(self):
+            self.names = []
+
+        def histogram(self, name, values, step):
+            self.names.append(name)
+            assert np.asarray(values).size > 0
+
+    rec = Rec()
+    a3c._grad_summaries(ctx, ts, rec, 0)
+    I = ctx.benv.n_intersections
+    expect = {"scores", "probs"} | {f"obs_grad{i}" for i in range(I)} \
+        | {f"state_grad{i}" for i in range(I)}
+    assert set(rec.names) == expect

@@ -207,6 +207,10 @@ def make_fns(cfg: Config, benv, topo):
             # per-window advantage standardization (diagnostic knob:
             # decouples the policy-gradient scale from reward_scale)
             adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + F32(1e-6))
+        if cfg.sil:
+            # self-imitation: reinforce only better-than-baseline
+            # actions (see Config.sil)
+            adv = jnp.maximum(adv, 0.0)
         if cfg.bc_episodes:
             # BC phase: supervised sigmoid-CE on the expert's actions
             # (unit weight); the value head still fits returns
@@ -294,6 +298,31 @@ def make_state(cfg: Config):
                   cfg=cfg, loss_fn=loss_fn), ts
 
 
+def _grad_summaries(ctx: A3CCtx, ts: A3CTS, writer, episode: int):
+    """--grad_summary histograms, matching the reference's names: the
+    decision "scores"/"probs" (algorithms/util.py:85,13) and the
+    per-action input-gradient histograms "obs_grad{i}"/"state_grad{i}"
+    (a3c.py:41-46), probed on (a 256-env slice of) the current obs."""
+    import numpy as np
+    B = ctx.benv.n_envs
+    nb = min(B, 256)
+    obs_bf = jnp.moveaxis(ts.obs, -1, 0).reshape(B, -1)[:nb]
+    gru0 = jnp.zeros_like(ts.gru)[:nb]
+
+    def mean_probs(o, h):
+        s, _, _ = ctx.net.apply(ts.params, o[:, None, :], h)
+        return jnp.mean(jax.nn.sigmoid(s[:, 0]), axis=0)     # (I,)
+
+    scores, _, _ = ctx.net.apply(ts.params, obs_bf[:, None, :], gru0)
+    scores = scores[:, 0]
+    writer.histogram("scores", np.asarray(scores), episode)
+    writer.histogram("probs", np.asarray(jax.nn.sigmoid(scores)), episode)
+    go, gh = jax.jacrev(mean_probs, argnums=(0, 1))(obs_bf, gru0)
+    for i in range(go.shape[0]):
+        writer.histogram(f"obs_grad{i}", np.asarray(go[i]), episode)
+        writer.histogram(f"state_grad{i}", np.asarray(gh[i]), episode)
+
+
 def train(cfg: Config, ctx: A3CCtx, ts: A3CTS, writer, ckpt):
     best = [cfg.best_threshold]
     episode = int(ts.episode)
@@ -308,6 +337,8 @@ def train(cfg: Config, ctx: A3CCtx, ts: A3CTS, writer, ckpt):
                 writer.scalar("value_loss", float(vl), episode)
                 writer.scalar("entropy_val", float(ent), episode)
                 writer.scalar("mean_reward", float(mean_r), episode)
+                if cfg.grad_summary:
+                    _grad_summaries(ctx, ts, writer, episode)
             if episode % cfg.validate_rate == 0:
                 ts = refresh_schedule(ctx.benv, ts)
                 rew = float(ctx.greedy_episode(ts)[0])

@@ -284,10 +284,17 @@ def train(cfg: Config, ctx: QLearnCtx, ts: QLearnTS, writer, ckpt):
                 writer.scalar("max_predicted_q", float(max_q), episode)
                 writer.scalar("mean_reward", float(mean_r), episode)
                 if cfg.grad_summary:
-                    # reference --grad_summary (a3c.py:41-46): gradient
-                    # magnitudes; scalars here instead of TF histograms
+                    # reference --grad_summary (a3c.py:41-46)
                     writer.scalar("grad_global_norm", float(gnorm),
                                   episode)
+                    # the decision "scores" histogram (reference
+                    # algorithms/util.py:85): Q-values behind the
+                    # current acting stack, 256-env probe slice
+                    import numpy as np
+                    stack = jnp.moveaxis(ts.replay.last_stack(),
+                                         0, 1)[:256]
+                    q = ctx.net.apply(ts.params_main, stack)
+                    writer.histogram("scores", np.asarray(q), episode)
             if episode % cfg.validate_rate == 0:
                 ts = refresh_schedule(ctx.benv, ts)
                 rew = float(ctx.greedy_episode(ts)[0])

@@ -170,6 +170,17 @@ class Config:
     # the advantage term can only move the policy where its signal
     # outweighs the anchor.  0 = off (pure reference semantics).
     bc_anchor: float = 0.0
+    # Self-imitation fine-tune (extension; Oh et al. 2018's
+    # positive-advantage idea): clamp advantages at zero in the a3c
+    # policy loss, so the update only REINFORCES actions that beat the
+    # value baseline and never unlearns toward exploration noise.
+    # Designed to pair with bc_anchor: the anchor holds the imitated
+    # expert as the floor while positive flips accumulate genuine
+    # improvements on top (a plain anchored A2C equilibrates strictly
+    # BELOW the expert — the anchor gradient vanishes at the expert
+    # while the noisy advantage gradient does not, so Adam drifts to a
+    # displaced fixed point; measured in curves/a3c_3x3_bc_anchor*.json).
+    sil: bool = False
     # CEM rollouts per sample (reference cem.py:12 num_tries — declared
     # there but dropped by the `for _ in range(1)` defect at cem.py:36;
     # real here: candidate k averages over its own `num_tries` envs in

@@ -159,16 +159,25 @@ def make_sim(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
         return state.replace(cars=cars, lastcar=lastcar, rewards=rewards,
                              key=state.key), overflow
 
+    _Kg = max(max_spawns_per_tick, 8)   # generation slots (see fast_core)
+
     def _spawn_on_device(state: SimState, _sched):
         """Rounded-exponential renewal process drawn from the env key.
 
-        Mirrors the generator protocol: emit cars while the pending gap
-        is zero (redrawing a gap after each), then consume one empty
-        tick (traffic_env.py:159-164, 274-283)."""
+        Mirrors the generator protocol: emit arrivals while the pending
+        gap is zero (redrawing a gap after each), then consume one
+        empty tick (traffic_env.py:159-164, 274-283).  Generation feeds
+        ``spawn_backlog``; placement drains at most
+        ``max_spawns_per_tick`` queued arrivals per tick, so a burst
+        beyond the cap is deferred, never dropped, and the renewal
+        clock keeps running (fast_core.spawn_device has the full cap
+        discipline note; the threefry split sequence here must stay
+        bit-identical to its)."""
         cars, leading, lastcar, rewards = (state.cars, state.leading,
                                            state.lastcar, state.rewards)
         key = jax.random.wrap_key_data(state.key)
         gap = state.spawn_gap
+        backlog = state.spawn_backlog
         car0 = archetype.at[W].set(state.steps.astype(F32))
         overflow = jnp.asarray(False)
         # Lazily draw the first gap, like the reference generator.
@@ -177,15 +186,25 @@ def make_sim(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
             gap < 0,
             jnp.round(jax.random.exponential(sub, dtype=F32) * lam).astype(I32),
             gap)
-        for _ in range(max_spawns_per_tick):
-            key, k1, k2 = jax.random.split(key, 3)
+        for _ in range(_Kg):
+            key, kg = jax.random.split(key)
             en = gap == 0
+            backlog = backlog + en.astype(I32)
+            new_gap = jnp.round(
+                jax.random.exponential(kg, dtype=F32) * lam).astype(I32)
+            gap = jnp.where(en, new_gap, gap)
+        gap = gap - (gap > 0)  # the empty tick that ends this round
+        n = jnp.minimum(backlog, max_spawns_per_tick)
+        backlog = backlog - n
+        for j in range(max_spawns_per_tick):
+            key, k1 = jax.random.split(key)
+            en = j < n
             road = jnp.asarray(entrypoints)[
                 jax.random.randint(k1, (), 0, len(entrypoints))]
             if k_arch == 1:
                 car = car0
             else:
-                # per-car archetype draw (traffic_env.py:164); a fourth
+                # per-car archetype draw (traffic_env.py:164); a second
                 # subkey only in the k>1 table so the k==1 threefry
                 # sequence — and its cross-core parity — is unchanged
                 key, k3 = jax.random.split(key)
@@ -194,13 +213,9 @@ def make_sim(topo: GridRoad, cfg: Config, on_device_spawns: bool = True,
             cars, lastcar, rewards, ovf = _add_car(
                 cars, leading, lastcar, rewards, road, car, en)
             overflow |= ovf
-            new_gap = jnp.round(
-                jax.random.exponential(k2, dtype=F32) * lam).astype(I32)
-            gap = jnp.where(en, new_gap, gap)
-        gap = gap - (gap > 0)  # the empty tick that ends this round
         return state.replace(cars=cars, lastcar=lastcar, rewards=rewards,
                              key=jax.random.key_data(key),
-                             spawn_gap=gap), overflow
+                             spawn_gap=gap, spawn_backlog=backlog), overflow
 
     _spawn = _spawn_on_device if on_device_spawns else _spawn_from_schedule
 

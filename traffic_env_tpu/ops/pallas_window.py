@@ -51,8 +51,8 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 STATE_KEYS = ("x", "v", "w", "leading", "lastcar", "phase", "elapsed",
-              "waiting", "detected", "passed_dst", "gap", "steps",
-              "gtick", "done")
+              "waiting", "detected", "passed_dst", "gap", "backlog",
+              "steps", "gtick", "done")
 
 # scalar constants as Python floats (inline literals, never captured)
 C_A, C_B = float(fc.C_A), float(fc.C_B)
@@ -173,7 +173,7 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
              last_passed_ref) = refs[n + n:]
 
         (x, v, wrow, leading, lastcar, phase, elapsed, waiting, detected,
-         passed_dst, gap_state, steps, gtick, done) = [
+         passed_dst, gap_state, backlog_state, steps, gtick, done) = [
             r[:] for r in in_refs[:len(STATE_KEYS)]]
         # Work in (S, R, Bb): the last two dims (48, lanes) tile the
         # (8, 128) vregs exactly, where (R, S=19->24, Bb) pads ~20% of
@@ -365,10 +365,27 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                 vplane = jnp.zeros((S, R, Bb), F32)
                 aiplane = jnp.zeros((S, R, Bb), F32)
             gap_row = gap_state[0]
+            backlog_row = backlog_state[0]
             if on_device_spawns and poisson:
+                # generation/placement split (fast_core.spawn_device's
+                # cap-discipline note): the renewal chain queues
+                # arrivals into the backlog and consumes one gap unit
+                # per live tick like the reference drain; placement
+                # below drains at most Ks per tick — deferral, never a
+                # drop, and the arrival clock never stalls.
                 first = jnp.round(
                     -jnp.log(uniform() + 1e-12) * lam).astype(I32)
                 gap_row = jnp.where(gap_row < 0, first, gap_row)
+                for _ in range(max(Ks, 8)):
+                    en_g = (gap_row == 0) & livev
+                    backlog_row = backlog_row + en_g.astype(I32)
+                    new_gap = jnp.round(
+                        -jnp.log(uniform() + 1e-12) * lam).astype(I32)
+                    gap_row = jnp.where(en_g, new_gap, gap_row)
+                gap_row = jnp.where(livev, gap_row - (gap_row > 0),
+                                    gap_row)
+                nplace = jnp.where(livev, jnp.minimum(backlog_row, Ks), 0)
+                backlog_row = backlog_row - nplace
             for j in range(Ks):
                 aidx = None
                 if on_device_spawns and not poisson:
@@ -381,15 +398,12 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                     if multi:     # regular: always archetypes[0]
                         aidx = jnp.zeros((Bb,), I32)
                 elif on_device_spawns:
-                    en = (gap_row == 0) & livev
+                    en = (nplace > j) & livev
                     ridx = jnp.minimum((uniform() * E).astype(I32), E - 1)
                     road = entry_road_of(ridx)
                     if multi:     # per-car draw (traffic_env.py:164)
                         aidx = jnp.minimum(
                             (uniform() * k_arch).astype(I32), k_arch - 1)
-                    new_gap = jnp.round(
-                        -jnp.log(uniform() + 1e-12) * lam).astype(I32)
-                    gap_row = jnp.where(en, new_gap, gap_row)
                 else:
                     eidx = sprows_ref[w_tick, j]
                     en = (eidx >= 0) & livev
@@ -419,8 +433,8 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
                     vplane = jnp.where(m, sel(aj, C.V)[None, :, :], vplane)
                     aiplane = jnp.where(m, aj[None, :, :], aiplane)
             if on_device_spawns and poisson:
-                gap_row = jnp.where(livev, gap_row - (gap_row > 0), gap_row)
                 gap_state = gap_row[None, :]
+                backlog_state = backlog_row[None, :]
             # one fused overflow-penalty pass for the whole spawn loop
             overflow = overflow | (jnp.max(ovf_cnt, axis=0) > 0)
             rewards = seg_add(rewards,
@@ -653,8 +667,8 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             done = jnp.where(lm, overflow.astype(I32)[None, :], done)
 
         outs = (T(x), T(v), T(wrow), leading, lastcar, phase, elapsed,
-                waiting, detected, passed_dst, gap_state, steps, gtick,
-                done) + ((T(ai),) if multi else ())
+                waiting, detected, passed_dst, gap_state, backlog_state,
+                steps, gtick, done) + ((T(ai),) if multi else ())
         for ref, val in zip(out_refs, outs):
             ref[:] = val
         acc_passed_ref[:] = acc_passed
@@ -743,7 +757,8 @@ def sim_to_dict(sim):
         leading=sim.leading, lastcar=sim.lastcar, phase=sim.phase,
         elapsed=sim.elapsed, waiting=sim.waiting, detected=sim.detected,
         passed_dst=sim.passed_dst.astype(I32),
-        gap=sim.spawn_gap[None], steps=sim.steps[None],
+        gap=sim.spawn_gap[None], backlog=sim.spawn_backlog[None],
+        steps=sim.steps[None],
         gtick=sim.global_tick[None], done=sim.done.astype(I32)[None])
     if sim.cars.shape[1] == 4:
         d["ai"] = sim.cars[:, 3]
@@ -758,7 +773,8 @@ def dict_to_sim(sim, d, last_passed, last_rew):
         elapsed=d["elapsed"], waiting=d["waiting"], detected=d["detected"],
         passed_dst=d["passed_dst"].astype(bool),
         rewards=last_rew, passed=last_passed,
-        spawn_gap=d["gap"][0], steps=d["steps"][0],
+        spawn_gap=d["gap"][0], spawn_backlog=d["backlog"][0],
+        steps=d["steps"][0],
         global_tick=d["gtick"][0], done=d["done"][0].astype(bool))
 
 
