@@ -22,6 +22,26 @@ if "scoped_vmem_limit" not in _v:
     _os.environ["LIBTPU_INIT_ARGS"] = \
         (_v + " --xla_tpu_scoped_vmem_limit_kib=65536").strip()
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache for every driver (bench,
+    learning_curve, profiler, traffic_test).  The benchmark programs
+    are compile-heavy (the fused Pallas window kernel alone is tens of
+    seconds on the chip); caching makes repeat runs start in seconds.
+    Opt out with TRAFFIC_ENV_TPU_NO_CACHE=1 (tests set their own)."""
+    if _os.environ.get("TRAFFIC_ENV_TPU_NO_CACHE"):
+        return
+    import pathlib
+
+    import jax
+    if jax.config.jax_compilation_cache_dir:
+        return  # caller (e.g. tests/conftest.py) already chose one
+    cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+_enable_compile_cache()
+
 from .config import Config, parse_flags
 from .topology import GridRoad
 
