@@ -35,7 +35,21 @@ def _enable_compile_cache():
     import jax
     if jax.config.jax_compilation_cache_dir:
         return  # caller (e.g. tests/conftest.py) already chose one
+    # Repo checkout: keep the cache next to the package so bench /
+    # tests / drivers share warm entries.  Installed package (parent
+    # may be site-packages, possibly read-only or shared): fall back
+    # to a per-user cache dir instead of warning-and-disabling.
     cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+    try:
+        cache.mkdir(parents=True, exist_ok=True)
+        probe = cache / ".writable"
+        probe.touch()
+        probe.unlink()
+    except OSError:
+        cache = pathlib.Path(
+            _os.environ.get("XDG_CACHE_HOME",
+                            pathlib.Path.home() / ".cache")
+        ) / "traffic_env_tpu" / "jax"
     jax.config.update("jax_compilation_cache_dir", str(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
