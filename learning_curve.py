@@ -84,6 +84,8 @@ def main():
                    help="BC expert keeps the baseline's t%%spacing gate")
     p.add_argument("--bc_anchor", type=float, default=0.0,
                    help="a3c: post-BC expert-CE anchor weight")
+    p.add_argument("--bc_anchor_gated", action="store_true",
+                   help="a3c: anchor only where advantage <= 0")
     p.add_argument("--sil", action="store_true",
                    help="a3c: positive-advantage-only policy loss")
     p.add_argument("--start_eps", type=float, default=0.8)
@@ -118,6 +120,7 @@ def main():
         end_eps=args.end_eps, bc_episodes=args.bc_episodes,
         finetune_lr=args.finetune_lr, bc_gated=args.bc_gated,
         bc_anchor=args.bc_anchor, sil=args.sil,
+        bc_anchor_gated=args.bc_anchor_gated,
         target_update_rate=30, seed=args.seed,
         entropy_coef=args.entropy_coef, reward_scale=args.reward_scale,
         norm_adv=args.norm_adv,

@@ -161,6 +161,41 @@ def test_bc_anchor_active_after_bc_phase():
     assert diff, "bc_anchor>0 did not change the fine-tune update"
 
 
+def test_bc_anchor_gate_masks_positive_advantage():
+    """--bc_anchor_gated drops the expert-CE anchor exactly at entries
+    with advantage > 0: with all-nonpositive advantages the gated and
+    ungated losses are bit-identical; flipping entries positive strictly
+    lowers the gated loss relative to ungated (those entries' anchor CE
+    is removed) while the ungated anchor contribution is unchanged."""
+    ctx_u, ts = a3c.make_state(_cfg(bc_anchor=1.0))
+    ctx_g, _ = a3c.make_state(_cfg(bc_anchor=1.0, bc_anchor_gated=True))
+    T, B = ts.key, None  # silence lints
+    cfg = ctx_u.cfg
+    T, B, I = cfg.batch_size, ctx_u.benv.n_envs, ctx_u.benv.n_intersections
+    feats = int(np.prod(ctx_u.benv.env.observation_space.shape))
+    k = jax.random.key(7)
+    ks = jax.random.split(k, 4)
+    obs = jax.random.normal(ks[0], (T, B, feats), jnp.float32)
+    act = jax.random.bernoulli(ks[1], 0.5, (T, B, I)).astype(jnp.float32)
+    expert = 1.0 - act   # maximally disagreeing expert: anchor CE > 0
+    ret = jax.random.normal(ks[2], (T, B, I), jnp.float32)
+    done = jnp.zeros((T, B), bool)
+    carry0 = jnp.zeros((B, ctx_u.net.hidden), jnp.float32)
+    w = jnp.float32(1.0)
+
+    adv_neg = -jnp.abs(jax.random.normal(ks[3], (T, B, I), jnp.float32))
+    args = (obs, act, adv_neg, ret, done, carry0, expert, w)
+    lu, _ = ctx_u.loss_fn(ts.params, *args)
+    lg, _ = ctx_g.loss_fn(ts.params, *args)
+    assert float(lu) == float(lg), "gate fired on nonpositive advantage"
+
+    adv_mix = adv_neg.at[0].set(1.0)   # step 0 entries now positive
+    args = (obs, act, adv_mix, ret, done, carry0, expert, w)
+    lu, _ = ctx_u.loss_fn(ts.params, *args)
+    lg, _ = ctx_g.loss_fn(ts.params, *args)
+    assert float(lg) < float(lu), "gate did not remove anchor CE"
+
+
 def test_grad_summary_histograms():
     """--grad_summary emits the reference's histogram names (scores,
     probs, obs_grad{i}, state_grad{i}; a3c.py:41-46, util.py:13,85)."""

@@ -224,6 +224,51 @@ def test_render_frame(tmp_path):
     assert os.path.getsize(out) > os.path.getsize(empty)
 
 
+def test_term_renderer_live_frame():
+    """--render_live terminal animation (the watch-it-live equivalent
+    of the reference's pyglet window, traffic_env.py:285-333): the ANSI
+    frame draws every road with light colors, one block per car, and
+    the drivers' EpisodeRenderer surface (add/add_ticks/finish/frames/
+    outdir) is present."""
+    import io
+    import re
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from traffic_env_tpu.config import Config, derive_spawn_rate
+    from traffic_env_tpu.envs.fast_core import (init_state_compact,
+                                                make_sim_fast)
+    from traffic_env_tpu.render import TermRenderer
+    from traffic_env_tpu.topology import GridRoad
+
+    topo = GridRoad(2, 2, 100.0)
+    cfg = Config(grid_m=2, grid_n=2, road_length=100.0,
+                 history=1).derive().replace(history=1)
+    cfg = derive_spawn_rate(cfg, topo.open_sides(0))
+    fns = make_sim_fast(topo, cfg)
+    sim = fns.reset(init_state_compact(topo, jax.random.key(0)),
+                    jnp.zeros(4, jnp.int32))
+    for _ in range(30):
+        sim = fns.tick(sim, jnp.zeros(4, jnp.int32), None)
+    occupancy = int(np.asarray(fns.cars_on_roads(sim)).sum())
+    assert occupancy > 0
+
+    buf = io.StringIO()
+    rend = TermRenderer(topo, rate_s=0.0, env_index=None, out=buf)
+    frame = rend.frame_str(sim)
+    plain = re.sub(r"\x1b\[[0-9;]*m", "", frame)
+    # every car is one block; lights paint roads red/green/yellow
+    assert plain.count("█") > 0
+    assert plain.count("█") <= occupancy
+    assert "─" in plain and "│" in plain and "┼" in plain
+    assert "\x1b[31m" in frame or "\x1b[32m" in frame
+    # driver surface: add() writes a frame and tracks count
+    rend.add(sim)
+    assert len(rend.frames) == 1 and rend.finish() is None
+    assert "\x1b[H" in buf.getvalue()
+    assert rend.outdir == "<terminal>"
+
+
 def test_regular_spawn_mode_on_device():
     """--poisson=False: deterministic batches of ceil(cars_per_tick)
     every round(1/cars_per_tick) ticks (traffic_env.py:166-176), with

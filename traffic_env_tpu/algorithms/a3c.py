@@ -176,6 +176,11 @@ def make_fns(cfg: Config, benv, topo):
             # DAgger-style anchor toward the expert's decisions on the
             # visited states (see Config.bc_anchor)
             ce_e = optax.sigmoid_binary_cross_entropy(scores, expert_seq)
+            if cfg.bc_anchor_gated:
+                # anchor only where the policy's own action did NOT
+                # beat the value baseline (adv is post-SIL-clamp, so
+                # adv <= 0 iff the raw advantage was <= 0)
+                ce_e = jnp.where(adv <= 0, ce_e, 0.0)
             policy_loss = policy_loss + anchor_w * jnp.mean(
                 jnp.sum(ce_e, axis=-1))
         value_loss = 0.5 * jnp.mean(jnp.sum(

@@ -125,8 +125,11 @@ def run(cfg: Config, trainer: str | None = None):
         # --render hook): one episode stepped from Python, one frame
         # per agent step for env lane 0, then the normal stats loop
         import os
-        from ..render import EpisodeRenderer
-        rend = EpisodeRenderer(topo, os.path.join(cfg.logdir, "render"))
+        from ..render import EpisodeRenderer, TermRenderer
+        rend = TermRenderer(
+            topo, rate_s=cfg.rate / 2 if cfg.render_ticks else 0.25) \
+            if cfg.render_live else \
+            EpisodeRenderer(topo, os.path.join(cfg.logdir, "render"))
         env, key = state["env"], state["key"]
         env, _ = benv.reset(env)
         held = jnp.zeros((benv.n_intersections, benv.n_envs), I32)

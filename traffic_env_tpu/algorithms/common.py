@@ -217,9 +217,12 @@ def render_greedy(cfg: Config, ctx, state, policy_step: Callable):
     if getattr(benv.env, "sim_fns", None) is None:
         return     # CartPole fixture has nothing to draw
     import jax.numpy as jnp
-    from ..render import EpisodeRenderer
+    from ..render import EpisodeRenderer, TermRenderer
     topo = GridRoad(cfg.grid_m, cfg.grid_n, cfg.road_length)
-    rend = EpisodeRenderer(topo, os.path.join(cfg.logdir, "render"))
+    rend = TermRenderer(
+        topo, rate_s=cfg.rate / 2 if cfg.render_ticks else 0.25) \
+        if cfg.render_live else \
+        EpisodeRenderer(topo, os.path.join(cfg.logdir, "render"))
     step_pi = policy_step(ctx, state)
     ticks_mode = cfg.render_ticks
     if ticks_mode and benv.step_autoreset_lazy_ticks is None:

@@ -70,6 +70,14 @@ class Config:
     # per agent step), matching the reference's per-tick pyglet
     # animation (traffic_env.py:285-359); implies --render
     render_ticks: bool = False
+    # Watch the episode live instead of writing PNG frames: an ANSI
+    # animation in the terminal (or a matplotlib window when a GUI
+    # backend exists), redrawn per frame with the reference's rate/2
+    # pacing (traffic_env.py:332).  The TPU-native answer to the
+    # reference's live pyglet window (traffic_env.py:285-333): the sim
+    # stays on device, one small SimState device_get per frame.
+    # Implies --render; combine with --render_ticks for per-tick frames.
+    render_live: bool = False
     episode_len: int = 800       # derived for traffic: episode_secs/light_secs
     save_rate: int = 1000
     logdir: str = "summaries"
@@ -170,6 +178,17 @@ class Config:
     # the advantage term can only move the policy where its signal
     # outweighs the anchor.  0 = off (pure reference semantics).
     bc_anchor: float = 0.0
+    # Advantage-gated anchor: apply the expert-CE anchor only at
+    # (step, env, intersection) entries whose advantage is <= 0 —
+    # "follow the expert unless your own action measurably beat the
+    # value baseline".  The ungated anchor pins the fine-tune at clone
+    # level (it penalizes EVERY deviation from the expert, including
+    # improving ones), which is why anchor+SIL holds 1.511 but cannot
+    # exceed the 1.553 expert (curves/a3c_3x3_bc_sil.json); the gate
+    # removes the anchor exactly where SIL has positive signal, so
+    # genuine improvements on top of the imitated expert are no longer
+    # fought by the regularizer.  Only meaningful with bc_anchor > 0.
+    bc_anchor_gated: bool = False
     # Self-imitation fine-tune (extension; Oh et al. 2018's
     # positive-advantage idea): clamp advantages at zero in the a3c
     # policy loss, so the update only REINFORCES actions that beat the
@@ -240,7 +259,7 @@ def _time_derivations(cfg: Config) -> dict:
 def _std_derivations(cfg: Config) -> dict:
     """alg_flags.py:41-44."""
     out: dict = {}
-    if cfg.render_ticks and not cfg.render:
+    if (cfg.render_ticks or cfg.render_live) and not cfg.render:
         out["render"] = True
     if cfg.render:
         out["mode"] = "validate"
