@@ -20,7 +20,10 @@ BASE = dict(num_envs=4, episode_secs=60, light_secs=5, total_episodes=2,
 
 
 @pytest.mark.parametrize("trainer", [
-    "qlearn", "a3c",
+    "qlearn",   # flagship end-to-end run_alg smoke stays quick; the
+                # other trainers' logic is covered quick by their unit
+                # tests and their full smokes run in the slow tier
+    pytest.param("a3c", marks=pytest.mark.slow),
     pytest.param("polgrad_rnn", marks=pytest.mark.slow),
     pytest.param("qrnn", marks=pytest.mark.slow)])
 def test_trainer_smoke(trainer, tmp_path):
@@ -32,7 +35,8 @@ def test_trainer_smoke(trainer, tmp_path):
 
 
 @pytest.mark.parametrize("trainer", [
-    "random", "greedy",
+    "greedy",
+    pytest.param("random", marks=pytest.mark.slow),
     pytest.param("const0", marks=pytest.mark.slow),
     pytest.param("const1", marks=pytest.mark.slow),
     pytest.param("fixed", marks=pytest.mark.slow),
@@ -293,6 +297,8 @@ def test_qrnn_variable_length_traces(tmp_path):
     assert (lens < cfg.episode_len).any(), lens   # early overflow seen
 
 
+@pytest.mark.slow   # four full training-graph compiles for a
+# flag-liveness check; the norm_adv math itself is trace-time trivial
 @pytest.mark.parametrize("trainer", ["a3c", "polgrad_rnn"])
 def test_norm_adv_changes_update(trainer, tmp_path):
     """--norm_adv standardizes the policy-gradient signal per update

@@ -168,6 +168,8 @@ def test_multi_archetype_on_device_fast_matches_exact():
     assert ai_seen >= {0, 1}   # both archetypes were actually on-road
 
 
+@pytest.mark.slow   # full-episode interpreter battery; quick tier keeps the archetype
+# oracle==exact==fast chain and the generic fast==pallas battery
 def test_multi_archetype_pallas_matches_fast():
     """The fused kernel with the archetype-index plane: schedule-driven
     k=2 windows (spawns, IDM, hand-offs, lazy resets) bit-equal to the

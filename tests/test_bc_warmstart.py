@@ -125,6 +125,7 @@ def test_bc_reaches_scripted_greedy():
     assert val >= 0.85 * greedy_ref, (val, greedy_ref)
 
 
+@pytest.mark.slow   # two extra a3c graph compiles; gate/rollout semantics stay quick
 def test_bc_anchor_inactive_during_bc_phase():
     """During the BC phase the anchor weight is gated to zero: one
     window from identical state yields bit-identical params with
@@ -140,6 +141,7 @@ def test_bc_anchor_inactive_during_bc_phase():
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow   # two extra a3c graph compiles; gate/rollout semantics stay quick
 def test_bc_anchor_active_after_bc_phase():
     """Past bc_episodes the anchor adds expert-CE pressure: params
     after one window differ from the unanchored run, and a heavily

@@ -93,6 +93,8 @@ def test_env_window_compiles_to_zero_collectives():
 
 
 @needs_multi
+@pytest.mark.slow   # HLO accounting battery (compile-heavy); the zero-collective env
+# window assertion stays quick
 def test_qlearn_collectives_are_minibatch_assembly_not_grad_psum():
     """Sharded-replay qlearn: each device's FrameReplay holds its own
     envs' frames; sampling all-reduces the (tiny) assembled minibatch
@@ -121,6 +123,8 @@ def test_qlearn_collectives_are_minibatch_assembly_not_grad_psum():
 
 
 @needs_multi
+@pytest.mark.slow   # HLO accounting battery (compile-heavy); the zero-collective env
+# window assertion stays quick
 def test_a3c_collectives_are_exactly_one_grad_psum():
     """On-policy a3c: the ONLY non-scalar collective is the fused
     gradient all-reduce, and its payload is bit-for-bit the parameter

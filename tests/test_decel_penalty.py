@@ -78,6 +78,8 @@ def test_decel_fast_core_matches_oracle():
                  topo, cfg, 5)
 
 
+@pytest.mark.slow   # interpreter battery; decel semantics are covered quick by the
+# exact/fast-core oracle twins above
 def test_decel_pallas_window_matches_oracle():
     """Window-level parity: the fused kernel's per-tick decel fold and
     per-tick reward accumulation must match the oracle Repeater sums

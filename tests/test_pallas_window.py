@@ -30,6 +30,9 @@ def batched_sim(topo, seeds):
                     in_axes=0, out_axes=-1)(keys)
 
 
+@pytest.mark.slow   # oracle==pallas is implied transitively by the quick oracle==fast
+# (test_fast_core) and fast==pallas (test_pallas_benv_matches_fast_benv)
+# chains; the direct battery stays in the full suite
 def test_window_matches_oracle_repeater():
     topo, cfg = setup()
     steps = 30
@@ -205,6 +208,8 @@ def test_inkernel_autoreset_matches_external_reset():
     assert n_resets >= 1
 
 
+@pytest.mark.slow   # validate-telemetry parity battery; compiled on-chip equivalent runs
+# in the parity_tpu.py gate (PARITY_TPU.json)
 def test_pallas_validate_trip_hist_matches_fast():
     """Validate-mode telemetry through the Pallas path: the kernel's
     exit-pop event stream, scattered into the trip histogram outside
@@ -243,6 +248,8 @@ def test_pallas_validate_trip_hist_matches_fast():
     assert int(np.asarray(sf.sim.trip_hist).sum()) > 0
 
 
+@pytest.mark.slow   # full-episode extension battery; occupancy math is also covered
+# quick by the fast-core path in test_fast_core/test_wrappers
 def test_occupancy_obs_extension_parity():
     """--occupancy_obs appends normalized per-road occupancy to the
     observation; the Pallas path (appended outside the kernel) must be

@@ -69,6 +69,8 @@ def test_stream_forward_only_and_overrun_guards():
         stream.window(np.asarray([10, 33]))    # env 1 overran its chunk
 
 
+@pytest.mark.slow   # full-episode interpreter battery; chunked-stream window algebra is
+# covered quick by test_stream_windows_match_monolithic_schedule
 def test_exact_chunked_pallas_matches_monolithic_fast():
     """The throughput path under --exact: Pallas kernel fed by O(chunk)
     stream windows (refreshed mid-run) must reproduce the XLA fast core

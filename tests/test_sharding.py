@@ -81,6 +81,8 @@ def test_entry_compiles():
 
 
 @needs_multi
+@pytest.mark.slow   # interpreter kernel under shard_map (heaviest sharding case); quick
+# tier keeps fast-core sharded==unsharded parity
 def test_pallas_env_under_mesh():
     """The fused window kernel composes with a dp mesh via shard_map:
     sharded rollout == unsharded rollout bit-for-bit (interpreter mode
