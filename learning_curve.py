@@ -166,14 +166,39 @@ def main():
     print(f"episode 0: greedy {v0:.4f}")
     t0 = time.time()
     ep = 0
+    pfields = [f for f in ("params", "params_main", "params_chooser",
+                           "params_target", "gru") if hasattr(ts, f)]
+    snap = lambda: {f: getattr(ts, f) for f in pfields}
+    best_v, best_snap = v0, snap()
     while ep < args.episodes:
         for _ in range(args.validate_every):
             ts, _ = ctx.run_episode(ts)
         ep = int(ts.episode)
         v = float(ctx.greedy_episode(ts)[0])
+        if v > best_v:
+            # best-checkpoint retention (the reference keeps best.ckpt
+            # the same way, qlearn.py:129-136); params are immutable
+            # device arrays, holding references is a snapshot
+            best_v, best_snap = v, snap()
         curve.append([ep, v])
         print(f"episode {ep}: greedy {v:.4f}  "
               f"({time.time() - t0:.0f}s)", flush=True)
+
+    # Held value of the RETAINED policy: re-validate the best
+    # checkpoint on fresh, independent workload draws.  A best-of-run
+    # peak can sit inside validation noise; the retained policy's mean
+    # over fresh draws cannot (ADVICE round 4: gate the pass-mark on a
+    # held value).
+    held = []
+    for i in range(10):
+        env_i = ctx.benv.init(jax.random.key(args.seed + 1000 + i))
+        if getattr(ctx.benv, "mesh", None) is not None:
+            from traffic_env_tpu.parallel import shard_env_state
+            env_i = shard_env_state(ctx.benv.mesh, env_i)
+        held.append(float(ctx.greedy_episode(
+            ts.replace(env=env_i, **best_snap))[0]))
+        print(f"held validation {i}: greedy {held[-1]:.4f}", flush=True)
+    held_best = sum(held) / len(held)
     best = max(v for _, v in curve)
     sustained = _sustained(curve)
     summary = {
@@ -190,6 +215,10 @@ def main():
         "sustained_greedy": sustained,
         "beats_scripted_greedy_sustained":
             sustained > bl.get("greedy", float("inf")),
+        "held_best_greedy": held_best,
+        "held_best_values": held,
+        "beats_scripted_greedy_held":
+            held_best > bl.get("greedy", float("inf")),
         "wall_s": round(time.time() - t0, 1),
     }
     print(json.dumps(summary))
