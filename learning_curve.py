@@ -86,6 +86,10 @@ def main():
                    help="a3c: post-BC expert-CE anchor weight")
     p.add_argument("--bc_anchor_gated", action="store_true",
                    help="a3c: anchor only where advantage <= 0")
+    p.add_argument("--bc_expert", type=str, default="greedy",
+                   help="a3c BC teacher: greedy | qlearn (distillation)")
+    p.add_argument("--bc_expert_ckpt", type=str, default="",
+                   help="teacher run logdir for --bc_expert=qlearn")
     p.add_argument("--sil", action="store_true",
                    help="a3c: positive-advantage-only policy loss")
     p.add_argument("--start_eps", type=float, default=0.8)
@@ -121,6 +125,7 @@ def main():
         finetune_lr=args.finetune_lr, bc_gated=args.bc_gated,
         bc_anchor=args.bc_anchor, sil=args.sil,
         bc_anchor_gated=args.bc_anchor_gated,
+        bc_expert=args.bc_expert, bc_expert_ckpt=args.bc_expert_ckpt,
         target_update_rate=30, seed=args.seed,
         entropy_coef=args.entropy_coef, reward_scale=args.reward_scale,
         norm_adv=args.norm_adv,

@@ -163,6 +163,45 @@ def test_bc_anchor_active_after_bc_phase():
     assert diff, "bc_anchor>0 did not change the fine-tune update"
 
 
+def test_bc_expert_qlearn_distills_teacher_argmax(tmp_path):
+    """--bc_expert=qlearn: during the BC phase the env trajectory is
+    EXACTLY what stepping with the teacher checkpoint's double-DQN
+    argmax policy produces (policy distillation; the teacher net reads
+    the same batch-first flattened obs the a3c learner computes)."""
+    from traffic_env_tpu.algorithms import qlearn
+    from traffic_env_tpu.models import QNet
+    from traffic_env_tpu.utils.checkpoint import Checkpointer
+
+    tcfg = Config(trainer="qlearn", grid_m=1, grid_n=2, num_envs=8,
+                  buffer_size=64, batch_size=4, seed=3,
+                  logdir=str(tmp_path)).derive()
+    assert tcfg.history == 20        # qlearn derivation
+    tctx, tts = qlearn.make_state(tcfg)
+    ck = Checkpointer(str(tmp_path))
+    ck.save(tts)
+
+    cfg = _cfg(bc_episodes=10, history=20, bc_expert="qlearn",
+               bc_expert_ckpt=str(tmp_path))
+    assert cfg.history == 20
+    ctx, ts = a3c.make_state(cfg)
+    ts2, _ = ctx.run_window(ts)
+
+    qnet = QNet(n_actions=ctx.benv.n_intersections)
+    env, obs = ts.env, ts.obs
+    B = ctx.benv.n_envs
+    for _ in range(cfg.batch_size):
+        obs_bf = jnp.moveaxis(obs, -1, 0).reshape(B, -1)
+        q = qnet.apply(tts.params_main, obs_bf)
+        a = jnp.argmax(q, axis=-1).astype(jnp.int32)
+        env, obs, _, _, _ = ctx.benv.step_autoreset_lazy(
+            env, jnp.moveaxis(a, 0, -1))
+
+    for name in ("phase", "elapsed", "leading", "lastcar", "cars"):
+        x = np.asarray(getattr(ts2.env.sim, name))
+        y = np.asarray(getattr(env.sim, name))
+        assert np.array_equal(x, y), f"sim.{name} diverged from teacher"
+
+
 def test_bc_anchor_gate_masks_positive_advantage():
     """--bc_anchor_gated drops the expert-CE anchor exactly at entries
     with advantage > 0: with all-nonpositive advantages the gated and

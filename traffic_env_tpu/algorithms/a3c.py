@@ -100,11 +100,31 @@ def make_fns(cfg: Config, benv, topo):
         return scores[:, 0], value[:, 0], carry
 
     want_expert = bool(cfg.bc_episodes) or cfg.bc_anchor > 0
-    if want_expert:
+    if want_expert and cfg.bc_expert == "qlearn":
+        # Policy distillation: the teacher is a trained double-DQN's
+        # argmax policy loaded from bc_expert_ckpt (see
+        # Config.bc_expert).  The teacher net consumes the same
+        # batch-first flattened obs this learner computes, so the env
+        # config (history/occupancy/grid) must match the teacher's run.
+        from ..models import QNet
+        from ..utils.checkpoint import Checkpointer
+        ck = Checkpointer(cfg.bc_expert_ckpt)
+        path = ck.latest_path("best.ckpt") or ck.latest_path("model.ckpt")
+        if path is None:
+            raise FileNotFoundError(
+                f"bc_expert=qlearn: no checkpoint in {cfg.bc_expert_ckpt}")
+        raw_state = ck._ck.restore(path)
+        q_params = jax.tree.map(jnp.asarray, raw_state["params_main"])
+        _qnet = QNet(n_actions=I)
+
+        def expert_action(t, key, env, obs_bf):
+            q = _qnet.apply(q_params, obs_bf)        # (B, I, 2)
+            return jnp.argmax(q, axis=-1).astype(I32)
+    elif want_expert:
         from .baselines import make_policies
         _greedy_expert = make_policies(cfg, benv, topo)["greedy"]
 
-        def expert_action(t, key, env):
+        def expert_action(t, key, env, obs_bf):
             """Scripted-greedy action in the learner's encoding.  With
             bc_gated the expert is the actual scripted baseline
             (re-picks every ``spacing`` steps, holding the current
@@ -127,7 +147,7 @@ def make_fns(cfg: Config, benv, topo):
             scores, value, carry2 = forward(params, obs_bf, carry)
             a = sigmoid_greedy(scores) if greedy else \
                 sigmoid_decision(k, scores, eps, cfg.exploration)
-            ea = expert_action(t, k, env) if want_expert else None
+            ea = expert_action(t, k, env, obs_bf) if want_expert else None
             if cfg.bc_episodes:
                 a = jnp.where(bc, ea, a)
             env, obs1, rew, done, _ = benv.step_autoreset_lazy(

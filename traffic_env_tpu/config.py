@@ -163,6 +163,20 @@ class Config:
     # expert scores 1.553 vs 1.493 for spacing-1 (fewer yellow-phase
     # stalls), so the gated expert is the higher BC ceiling.
     bc_gated: bool = False
+    # BC teacher: "greedy" imitates the scripted baseline (the default,
+    # ceiling = the baseline itself); "qlearn" distills a TRAINED
+    # double-DQN's argmax policy (policy distillation) — the qlearn
+    # learner beats scripted greedy by ~16% with --occupancy_obs, so
+    # its clone can beat the baseline with real margin where a
+    # scripted-expert clone can only tie it.  Requires bc_expert_ckpt
+    # and an obs pipeline matching the teacher's (--history=20
+    # --occupancy_obs for the benchmark teacher); the (B, I) argmax is
+    # already in the learner's action encoding (qlearn env_action is
+    # the identity in factored mode, qlearn.py).
+    bc_expert: str = "greedy"       # greedy | qlearn
+    # logdir of the teacher's run (model.ckpt written by its train
+    # loop's save-on-exit); best.ckpt is preferred when present
+    bc_expert_ckpt: str = ""
     # Post-BC fine-tune learning rate (0 = keep learning_rate).  The
     # supervised BC phase tolerates a much larger step size than the
     # on-policy fine-tune that follows it — at the shared default the
