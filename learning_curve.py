@@ -96,6 +96,10 @@ def main():
     p.add_argument("--end_eps", type=float, default=0.05)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="")
+    p.add_argument("--teacher_out", type=str, default="",
+                   help="save the retained best params as best.ckpt in "
+                        "this dir (a --bc_expert_ckpt teacher for a3c "
+                        "distillation)")
     p.add_argument("--platform", type=str, default="",
                    help="cpu: force the host platform (with --mesh_shape "
                         "N, also fabricates N virtual devices — the "
@@ -204,6 +208,15 @@ def main():
             ts.replace(env=env_i, **best_snap))[0]))
         print(f"held validation {i}: greedy {held[-1]:.4f}", flush=True)
     held_best = sum(held) / len(held)
+    if args.teacher_out:
+        # persist the retained-best params for --bc_expert=qlearn
+        # distillation (the a3c loader reads raw_state["params_main"])
+        import os
+        from traffic_env_tpu.utils.checkpoint import Checkpointer
+        os.makedirs(args.teacher_out, exist_ok=True)
+        Checkpointer(args.teacher_out).save(best_snap, name="best.ckpt")
+        print(f"teacher params saved to {args.teacher_out}/best.ckpt "
+              f"(retained validation {best_v:.4f})", flush=True)
     best = max(v for _, v in curve)
     sustained = _sustained(curve)
     summary = {

@@ -257,3 +257,40 @@ def test_grad_summary_histograms():
     expect = {"scores", "probs"} | {f"obs_grad{i}" for i in range(I)} \
         | {f"state_grad{i}" for i in range(I)}
     assert set(rec.names) == expect
+
+
+def test_convgru_history_frames_become_channel_groups():
+    """--conv_gru with --history=k: the flattened obs is k frame-major
+    frames (EnvState.history, oldest first) and the conv-GRU net must
+    parse each frame into its own channel group — gate kernels take
+    hidden + k*13 (occupancy) input channels, and the flat layout the
+    net assumes matches the env's actual history stacking.  This is the
+    obs pipeline the qlearn-teacher distillation pairs with on config 5
+    (Config.bc_expert)."""
+    from traffic_env_tpu.models import ConvGRUA3CNet
+
+    k = 4
+    cfg = _cfg(conv_gru=True, history=k, occupancy_obs=True,
+               batch_size=5)
+    ctx, ts = a3c.make_state(cfg)
+
+    # layout assumption: flat_bf frame j == history frame j
+    B = ctx.benv.n_envs
+    obs = np.asarray(ts.obs)                      # (k, obs_dim, B)
+    assert obs.shape[0] == k
+    flat = np.moveaxis(obs, -1, 0).reshape(B, -1)
+    d = obs.shape[1]
+    for j in range(k):
+        assert np.array_equal(flat[:, j * d:(j + 1) * d], obs[j].T)
+
+    # channel-group width: every gate conv consumes hidden + k*13
+    v = ctx.benv.n_intersections
+    assert d == 13 * v
+    gates = ts.params["params"]["ConvGRUCell_0"]
+    hc = ConvGRUA3CNet.hidden_channels
+    assert gates["update_gate"]["kernel"].shape[-2] == hc + k * 13
+    assert gates["candidate"]["kernel"].shape[-2] == hc + k * 13
+
+    # end-to-end: one training window runs and keeps finite params
+    ts2, (loss, *_) = ctx.run_window(ts)
+    assert np.isfinite(float(loss))

@@ -158,23 +158,38 @@ class ConvGRUA3CNet(nn.Module):
         # per-road passed/detected (4 dirs x 2) + per-intersection phase
         # feature — rearranged into (m, n, 9) columns; with
         # --occupancy_obs four more per-direction occupancy channels
-        # follow (13 columns).
+        # follow (13 columns).  With --history=k the flattened obs is k
+        # frame-major frames (oldest first, EnvState.history); each
+        # frame becomes its own channel group, giving (m, n, k*9|k*13)
+        # maps — this is what lets the conv-GRU pair with the
+        # history-20 qlearn distillation teacher (Config.bc_expert).
         b, t = obs.shape[0], obs.shape[1]
         v = self.m * self.n
         x = obs.reshape((b, t, -1))
+        d = x.shape[-1]
+        # prefer the occupancy frame width when both divide (ambiguous
+        # only at history multiples of 9, not used by any config)
+        frame = 13 * v if d % (13 * v) == 0 else \
+            9 * v if d % (9 * v) == 0 else 0
 
-        def to_grid(flat):
+        def to_grid(flat, width):
             def block(lo, n_dirs):
                 return flat[..., lo * v:(lo + n_dirs) * v].reshape(
                     (b, t, n_dirs, self.m, self.n))
             chans = [block(0, 4), block(4, 4), block(8, 1)]
-            if flat.shape[-1] >= 13 * v:
+            if width >= 13 * v:
                 chans.append(block(9, 4))
             g = jnp.concatenate(chans, axis=2)
             return jnp.moveaxis(g, 2, -1)  # (b, t, m, n, 9 or 13)
 
-        grid = to_grid(x) if x.shape[-1] >= 9 * v else \
-            jnp.zeros((b, t, self.m, self.n, 9))
+        if frame:
+            k = d // frame
+            frames = x.reshape((b, t, k, frame))
+            grid = jnp.concatenate(
+                [to_grid(frames[:, :, i], frame) for i in range(k)],
+                axis=-1)
+        else:
+            grid = jnp.zeros((b, t, self.m, self.n, 9))
         cell = ConvGRUCell(self.hidden_channels)
         if initial_state is None:
             initial_state = jnp.zeros(
