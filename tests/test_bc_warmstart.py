@@ -294,3 +294,43 @@ def test_convgru_history_frames_become_channel_groups():
     # end-to-end: one training window runs and keeps finite params
     ts2, (loss, *_) = ctx.run_window(ts)
     assert np.isfinite(float(loss))
+
+
+def test_polgrad_bc_rollout_follows_expert():
+    """polgrad_rnn --bc_episodes: during the BC phase the env
+    trajectory is EXACTLY what stepping with the scripted (spacing-1)
+    greedy expert from the same reset produces, and past bc_episodes
+    the rollout diverges from pure expert stepping."""
+    from traffic_env_tpu.algorithms import polgrad_rnn
+
+    cfg = Config(trainer="polgrad_rnn", grid_m=1, grid_n=2, num_envs=8,
+                 batch_size=2, episode_secs=60, seed=3,
+                 bc_episodes=10, logdir="/tmp/pg_bc_test").derive()
+    ctx, ts = polgrad_rnn.make_state(cfg)
+    ts2, _ = ctx.run_episode(ts)
+
+    topo, cfg2, benv = build_env(cfg)
+    greedy = make_policies(cfg2, ctx.benv, topo)["greedy"]
+    env, _ = ctx.benv.reset(ts.env)
+    key = jax.random.key(123)   # greedy ignores the key
+    for _ in range(cfg.episode_len):
+        a_raw, _ = greedy(jnp.int32(0), key, env, env.sim.phase)
+        env, _, _, _, _ = ctx.benv.step_autoreset_lazy(env, a_raw)
+
+    for name in ("phase", "elapsed", "leading", "lastcar", "cars"):
+        a = np.asarray(getattr(ts2.env.sim, name))
+        b = np.asarray(getattr(env.sim, name))
+        assert np.array_equal(a, b), f"sim.{name} diverged from expert"
+
+    # past the BC phase the policy acts on its own
+    ts3 = ts.replace(episode=jnp.int32(50))
+    ts4, _ = ctx.run_episode(ts3)
+    env, _ = ctx.benv.reset(ts3.env)
+    for _ in range(cfg.episode_len):
+        a_raw, _ = greedy(jnp.int32(0), key, env, env.sim.phase)
+        env, _, _, _, _ = ctx.benv.step_autoreset_lazy(env, a_raw)
+    diverged = any(
+        not np.array_equal(np.asarray(getattr(ts4.env.sim, n)),
+                           np.asarray(getattr(env.sim, n)))
+        for n in ("phase", "cars"))
+    assert diverged, "post-BC rollout still mirrors the expert"

@@ -8,6 +8,7 @@ sequential loop."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from traffic_env_tpu.config import Config, derive_spawn_rate
 from traffic_env_tpu.envs import build_batched_schedule, build_schedule

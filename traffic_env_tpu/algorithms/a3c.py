@@ -38,8 +38,8 @@ from flax import struct
 from ..config import Config
 from ..models import A3CNet, ConvGRUA3CNet
 from ..ops import gae
-from .common import (build_env, handle_modes, refresh_schedule,
-                     validation_hook)
+from .common import (build_env, handle_modes, make_expert_action,
+                     refresh_schedule, validation_hook)
 from .exploration import anneal, sigmoid_decision, sigmoid_greedy
 
 F32 = jnp.float32
@@ -99,44 +99,8 @@ def make_fns(cfg: Config, benv, topo):
         scores, value, carry = net.apply(params, obs[:, None, :], carry)
         return scores[:, 0], value[:, 0], carry
 
-    want_expert = bool(cfg.bc_episodes) or cfg.bc_anchor > 0
-    if want_expert and cfg.bc_expert == "qlearn":
-        # Policy distillation: the teacher is a trained double-DQN's
-        # argmax policy loaded from bc_expert_ckpt (see
-        # Config.bc_expert).  The teacher net consumes the same
-        # batch-first flattened obs this learner computes, so the env
-        # config (history/occupancy/grid) must match the teacher's run.
-        from ..models import QNet
-        from ..utils.checkpoint import Checkpointer
-        ck = Checkpointer(cfg.bc_expert_ckpt)
-        path = ck.latest_path("best.ckpt") or ck.latest_path("model.ckpt")
-        if path is None:
-            raise FileNotFoundError(
-                f"bc_expert=qlearn: no checkpoint in {cfg.bc_expert_ckpt}")
-        raw_state = ck._ck.restore(path)
-        q_params = jax.tree.map(jnp.asarray, raw_state["params_main"])
-        _qnet = QNet(n_actions=I)
-
-        def expert_action(t, key, env, obs_bf):
-            q = _qnet.apply(q_params, obs_bf)        # (B, I, 2)
-            return jnp.argmax(q, axis=-1).astype(I32)
-    elif want_expert:
-        from .baselines import make_policies
-        _greedy_expert = make_policies(cfg, benv, topo)["greedy"]
-
-        def expert_action(t, key, env, obs_bf):
-            """Scripted-greedy action in the learner's encoding.  With
-            bc_gated the expert is the actual scripted baseline
-            (re-picks every ``spacing`` steps, holding the current
-            phase between picks); otherwise t=0 forces the gate open
-            (a spacing-1 greedy, memoryless in the obs).  Pair with
-            --occupancy_obs so the policy sees the expert's
-            cars_on_roads signal."""
-            t = t if cfg.bc_gated else jnp.int32(0)
-            raw, _ = _greedy_expert(t, key, env, env.sim.phase)
-            if cfg.learn_switch:
-                raw = jnp.logical_xor(raw, env.sim.phase).astype(I32)
-            return jnp.moveaxis(raw, -1, 0)   # (I, B) -> learner (B, I)
+    expert_action = make_expert_action(cfg, benv, topo)
+    want_expert = expert_action is not None
 
     def rollout(params, env, obs, carry, key, eps, greedy=False,
                 bc=None, t0=None):

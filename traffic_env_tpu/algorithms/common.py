@@ -132,6 +132,56 @@ def refresh_env_schedule(benv, env):
     return env.replace(sched=sched)
 
 
+def make_expert_action(cfg: Config, benv, topo):
+    """BC/anchor expert for the sigmoid-policy learners (a3c,
+    polgrad_rnn): ``(t, key, env, obs_bf) -> (B, I) int32`` actions in
+    the learner's encoding, or None when no imitation flag is set.
+
+    ``bc_expert="greedy"`` is the scripted baseline (optionally with
+    its ``t % spacing`` gate kept, Config.bc_gated);
+    ``bc_expert="qlearn"`` distills a trained double-DQN's argmax from
+    ``bc_expert_ckpt`` (the teacher net reads the same batch-first
+    flattened obs the learner computes, so history/occupancy/grid must
+    match the teacher's run — Config.bc_expert)."""
+    import jax.numpy as jnp
+    I32 = jnp.int32
+    want = bool(cfg.bc_episodes) or cfg.bc_anchor > 0
+    if not want:
+        return None
+    if cfg.bc_expert == "qlearn":
+        from ..models import QNet
+        ck = Checkpointer(cfg.bc_expert_ckpt)
+        path = ck.latest_path("best.ckpt") or ck.latest_path("model.ckpt")
+        if path is None:
+            raise FileNotFoundError(
+                f"bc_expert=qlearn: no checkpoint in {cfg.bc_expert_ckpt}")
+        raw_state = ck._ck.restore(path)
+        q_params = jax.tree.map(jnp.asarray, raw_state["params_main"])
+        _qnet = QNet(n_actions=benv.n_intersections)
+
+        def expert_action(t, key, env, obs_bf):
+            q = _qnet.apply(q_params, obs_bf)        # (B, I, 2)
+            return jnp.argmax(q, axis=-1).astype(I32)
+        return expert_action
+
+    from .baselines import make_policies
+    _greedy_expert = make_policies(cfg, benv, topo)["greedy"]
+
+    def expert_action(t, key, env, obs_bf):
+        """Scripted-greedy action in the learner's encoding.  With
+        bc_gated the expert is the actual scripted baseline (re-picks
+        every ``spacing`` steps, holding the current phase between
+        picks); otherwise t=0 forces the gate open (a spacing-1
+        greedy, memoryless in the obs).  Pair with --occupancy_obs so
+        the policy sees the expert's cars_on_roads signal."""
+        t = t if cfg.bc_gated else jnp.int32(0)
+        raw, _ = _greedy_expert(t, key, env, env.sim.phase)
+        if cfg.learn_switch:
+            raw = jnp.logical_xor(raw, env.sim.phase).astype(I32)
+        return jnp.moveaxis(raw, -1, 0)   # (I, B) -> learner (B, I)
+    return expert_action
+
+
 def refresh_schedule(benv: BatchedEnv, ts):
     """refresh_env_schedule over a train state carrying ``.env``.
     Called at the top of every train-loop iteration and before each

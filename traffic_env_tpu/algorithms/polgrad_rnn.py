@@ -26,8 +26,8 @@ from flax import struct
 from ..config import Config
 from ..models import PolGradNet
 from ..ops import discount
-from .common import (build_env, handle_modes, refresh_schedule,
-                     validation_hook)
+from .common import (build_env, handle_modes, make_expert_action,
+                     refresh_schedule, validation_hook)
 from .exploration import anneal, sigmoid_decision, sigmoid_greedy
 
 F32 = jnp.float32
@@ -55,18 +55,31 @@ class PGCtx(NamedTuple):
     cfg: Config
 
 
-def make_fns(cfg: Config, benv):
+def make_fns(cfg: Config, benv, topo):
     I = benv.n_intersections
     B = benv.n_envs
     net = PolGradNet(n_actions=I)
-    tx = optax.adam(cfg.learning_rate)
+    if cfg.bc_episodes and cfg.finetune_lr:
+        # optimizer applies once per batch_size-episode accumulation
+        # window; the BC phase tolerates a larger step than the
+        # REINFORCE fine-tune that follows (same rationale as a3c's
+        # Config.finetune_lr)
+        bc_updates = max(1, cfg.bc_episodes // cfg.batch_size)
+        lr = optax.piecewise_constant_schedule(
+            cfg.learning_rate,
+            {bc_updates: cfg.finetune_lr / cfg.learning_rate})
+    else:
+        lr = cfg.learning_rate
+    tx = optax.adam(lr)
 
     validate_mode = cfg.mode == "validate"
+    expert_action = make_expert_action(cfg, benv, topo)
+    want_expert = expert_action is not None
 
-    def collect(params, env, key, eps, greedy=False):
+    def collect(params, env, key, eps, greedy=False, bc=None):
         env, obs = benv.reset(env)
 
-        def body(c, _):
+        def body(c, t):
             env, obs, gru, key = c
             key, k = jax.random.split(key)
             obs_bf = jnp.moveaxis(obs, -1, 0).reshape(B, -1)
@@ -74,33 +87,54 @@ def make_fns(cfg: Config, benv):
             scores = scores[:, 0]
             a = sigmoid_greedy(scores) if greedy else \
                 sigmoid_decision(k, scores, eps, cfg.exploration)
+            ea = expert_action(t, k, env, obs_bf) if want_expert else None
+            if cfg.bc_episodes:
+                # BC warm start: behave with the expert during the
+                # first bc_episodes (Config.bc_episodes; the episode
+                # starts at reset, so t is the within-episode step the
+                # gated expert needs)
+                a = jnp.where(bc, ea, a)
             env, obs1, rew, done, info = benv.step_autoreset_lazy(
                 env, jnp.moveaxis(a, 0, -1))
             # GRU carry resets at auto-reset boundaries
             gru = jnp.where(done[:, None], 0.0, gru)
             ysd = info["light_times"] if validate_mode else None
-            return (env, obs1, gru, key), \
-                (obs_bf, a.astype(F32), jnp.moveaxis(rew, -1, 0), done,
-                 ysd)
+            out = (obs_bf, a.astype(F32), jnp.moveaxis(rew, -1, 0), done,
+                   ysd)
+            if want_expert:
+                out = out + (ea.astype(F32),)
+            return (env, obs1, gru, key), out
 
         gru0 = jnp.zeros((B, net.hidden), F32)
-        (env, _, _, key), (xs, ys, rs, ds, lt) = jax.lax.scan(
-            body, (env, obs, gru0, key), None, length=cfg.episode_len)
-        return env, key, xs, ys, rs, ds, lt
+        ts_idx = jnp.arange(cfg.episode_len, dtype=I32)
+        (env, _, _, key), seq = jax.lax.scan(
+            body, (env, obs, gru0, key), ts_idx)
+        xs, ys, rs, ds, lt = seq[:5]
+        es = seq[5] if want_expert else None
+        return env, key, xs, ys, rs, ds, lt, es
 
-    def loss_fn(params, xs, ys, epr):
+    def loss_fn(params, xs, ys, epr, es=None, anchor_w=None):
         # xs (T, B, obs) -> (B, T, obs)
         scores, _ = net.apply(params, jnp.moveaxis(xs, 0, 1))
         ce = optax.sigmoid_binary_cross_entropy(
             scores, jnp.moveaxis(ys, 0, 1))
-        return jnp.mean(jnp.sum(jnp.moveaxis(epr, 0, 1) * ce, axis=-1))
+        loss = jnp.mean(jnp.sum(jnp.moveaxis(epr, 0, 1) * ce, axis=-1))
+        if es is not None:
+            # post-BC expert-CE anchor on the visited states (same
+            # DAgger-style regularizer as a3c's Config.bc_anchor)
+            ce_e = optax.sigmoid_binary_cross_entropy(
+                scores, jnp.moveaxis(es, 0, 1))
+            loss = loss + anchor_w * jnp.mean(jnp.sum(ce_e, axis=-1))
+        return loss
 
     @jax.jit
     def run_episode(ts: PGTS):
         eps = anneal(cfg.start_eps, cfg.end_eps, cfg.annealing_episodes,
                      ts.episode)
         key, k = jax.random.split(ts.key)
-        env, key2, xs, ys, rs, ds, _ = collect(ts.params, ts.env, k, eps)
+        bc = ts.episode < cfg.bc_episodes if cfg.bc_episodes else None
+        env, key2, xs, ys, rs, ds, _, es = collect(
+            ts.params, ts.env, k, eps, bc=bc)
         # per-intersection reward columns (polgrad feeds the reward
         # vector per action head, polgrad_rnn.py:19,28-31)
         epr = discount(rs, cfg.gamma, cfg.use_avg,
@@ -112,7 +146,18 @@ def make_fns(cfg: Config, benv):
         # reward units — same scale fix as a3c's norm_adv.
         if cfg.norm_adv or not cfg.use_avg:
             epr = (epr - jnp.mean(epr)) / (jnp.std(epr) + EPS)
-        (loss, grads) = jax.value_and_grad(loss_fn)(ts.params, xs, ys, epr)
+        if cfg.bc_episodes:
+            # BC phase: unit-weight CE on the expert's actions (ys IS
+            # the expert stream while bc holds)
+            epr = jnp.where(bc, jnp.ones_like(epr), epr)
+        if cfg.bc_anchor > 0:
+            anchor_w = F32(cfg.bc_anchor)
+            if bc is not None:
+                anchor_w = jnp.where(bc, F32(0), anchor_w)
+        else:
+            es, anchor_w = None, None
+        (loss, grads) = jax.value_and_grad(loss_fn)(
+            ts.params, xs, ys, epr, es, anchor_w)
         grad_acc = jax.tree.map(jnp.add, ts.grad_acc, grads)
         n_acc = ts.n_acc + 1
         apply_now = n_acc >= cfg.batch_size
@@ -137,8 +182,9 @@ def make_fns(cfg: Config, benv):
 
     @jax.jit
     def greedy_episode(ts: PGTS):
-        env, key, xs, ys, rs, ds, lt = collect(ts.params, ts.env, ts.key,
-                                               F32(0), greedy=True)
+        env, key, xs, ys, rs, ds, lt, _ = collect(
+            ts.params, ts.env, ts.key, F32(0), greedy=True,
+            bc=jnp.bool_(False))
         t = jnp.arange(cfg.episode_len).astype(F32)
         disc = cfg.gamma ** t if cfg.print_discounted else jnp.ones_like(t)
         # episode_reward stops at each env's first done (util.py:68-94)
@@ -159,7 +205,7 @@ def make_fns(cfg: Config, benv):
 
 def make_state(cfg: Config):
     topo, cfg, benv = build_env(cfg)
-    net, tx, run_episode, greedy_episode = make_fns(cfg, benv)
+    net, tx, run_episode, greedy_episode = make_fns(cfg, benv, topo)
     key = jax.random.key(cfg.seed)
     k_env, k_net, k_ts = jax.random.split(key, 3)
     env = benv.init(k_env)
