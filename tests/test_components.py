@@ -438,3 +438,40 @@ def test_display_data_summary(capsys):
     assert "Light times mean" in out and "mode 2.0" in out
     assert "Trip times mean" in out and "Unfinished mean" in out
     assert fig is not None
+
+
+def test_obs_grid_channels_layout():
+    """The grid-native nets' shared obs parser: within a frame, channel
+    block c reshapes road/intersection id row*n + col row-major onto
+    the (m, n) grid; with history, frame f (oldest first) occupies
+    channel group f.  Verified index-by-index on a synthetic obs whose
+    flat value IS its flat index."""
+    from traffic_env_tpu.models import obs_grid_channels
+
+    m, n = 2, 3
+    v = m * n
+    for k, width in ((1, 9), (1, 13), (3, 13)):
+        d = k * width * v
+        flat = jnp.arange(d, dtype=jnp.float32)[None]      # (1, d)
+        g = np.asarray(obs_grid_channels(flat, m, n))
+        assert g.shape == (1, m, n, k * width)
+        for f in range(k):
+            for ch in range(width):
+                for i in range(m):
+                    for j in range(n):
+                        want = f * width * v + ch * v + i * n + j
+                        assert g[0, i, j, f * width + ch] == want
+
+
+def test_convqnet_interface_matches_qnet():
+    """ConvQNet drops into qlearn's QNet slot: flat obs in,
+    (batch, m*n, n_choices) Q out, per-cell heads ordered row*n+col."""
+    from traffic_env_tpu.models import ConvQNet
+
+    m, n = 2, 3
+    net = ConvQNet(m=m, n=n)
+    obs = jnp.ones((4, 13 * m * n), jnp.float32)
+    params = net.init(jax.random.key(0), obs)
+    q = net.apply(params, obs)
+    assert q.shape == (4, m * n, 2)
+    assert any(k.startswith("Conv") for k in params["params"])

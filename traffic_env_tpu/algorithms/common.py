@@ -157,7 +157,15 @@ def make_expert_action(cfg: Config, benv, topo):
                 f"bc_expert=qlearn: no checkpoint in {cfg.bc_expert_ckpt}")
         raw_state = ck._ck.restore(path)
         q_params = jax.tree.map(jnp.asarray, raw_state["params_main"])
-        _qnet = QNet(n_actions=benv.n_intersections)
+        # the teacher's trunk is recoverable from its param tree: a
+        # grid-native ConvQNet teacher has Conv_* layers, the
+        # flattened QNet Dense_* (both share the flat-obs-in,
+        # (B, I, 2)-Q-out interface)
+        if any(k.startswith("Conv") for k in q_params["params"]):
+            from ..models import ConvQNet
+            _qnet = ConvQNet(m=cfg.grid_m, n=cfg.grid_n)
+        else:
+            _qnet = QNet(n_actions=benv.n_intersections)
 
         def expert_action(t, key, env, obs_bf):
             q = _qnet.apply(q_params, obs_bf)        # (B, I, 2)

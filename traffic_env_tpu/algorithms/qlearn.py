@@ -30,7 +30,7 @@ import optax
 from flax import struct
 
 from ..config import Config
-from ..models import QNet
+from ..models import ConvQNet, QNet
 from .common import (build_env, handle_modes, refresh_schedule,
                      validation_hook)
 from .exploration import exploration_param, softmax_decision
@@ -91,7 +91,17 @@ def make_fns(cfg: Config, benv):
         env_action = lambda a: a
         learn_reward = lambda r_bf: r_bf
         reward_size = benv.env.reward_size
-    net = QNet(n_actions=heads, n_choices=choices)
+    if cfg.conv_gru:
+        # grid-native Q variant (ConvQNet): weight-shared convs over
+        # the intersection grid instead of the flattened Dense trunk —
+        # factored heads only (the 2^I single-agent head has no grid
+        # structure to share)
+        if cfg.single_agent:
+            raise ValueError("conv_gru qlearn requires factored "
+                             "per-intersection heads (no single_agent)")
+        net = ConvQNet(m=cfg.grid_m, n=cfg.grid_n, n_choices=choices)
+    else:
+        net = QNet(n_actions=heads, n_choices=choices)
     tx = optax.chain(optax.clip_by_global_norm(10.0),
                      optax.adam(cfg.learning_rate))
 

@@ -28,6 +28,45 @@ import jax
 import jax.numpy as jnp
 
 
+def obs_grid_channels(flat, m, n):
+    """Flat observation -> (…, m, n, C) grid channel maps.
+
+    The flattened obs is per-road passed/detected (4 directions x 2)
+    + per-intersection phase feature (9 columns per intersection), and
+    with --occupancy_obs four more per-direction occupancy channels
+    (13 columns); road id within a direction block is row*n + col, so
+    each block reshapes row-major onto the (m, n) grid.  With
+    --history=k the flat obs is k frame-major frames (oldest first,
+    EnvState.history); each frame becomes its own channel group,
+    giving C = k*9 or k*13 channels.  Shared by the grid-native nets
+    (ConvGRUA3CNet policy, ConvQNet value)."""
+    v = m * n
+    lead = flat.shape[:-1]
+    d = flat.shape[-1]
+    # prefer the occupancy frame width when both divide (ambiguous
+    # only at history multiples of 9, not used by any config)
+    frame = 13 * v if d % (13 * v) == 0 else \
+        9 * v if d % (9 * v) == 0 else 0
+    if not frame:
+        return jnp.zeros(lead + (m, n, 9), flat.dtype)
+    k = d // frame
+    width = frame // v            # 9 or 13 channels per frame
+
+    def to_grid(fr):
+        def block(lo, n_dirs):
+            return fr[..., lo * v:(lo + n_dirs) * v].reshape(
+                lead + (n_dirs, m, n))
+        chans = [block(0, 4), block(4, 4), block(8, 1)]
+        if width >= 13:
+            chans.append(block(9, 4))
+        g = jnp.concatenate(chans, axis=-3)
+        return jnp.moveaxis(g, -3, -1)    # (…, m, n, 9 or 13)
+
+    frames = flat.reshape(lead + (k, frame))
+    return jnp.concatenate(
+        [to_grid(frames[..., i, :]) for i in range(k)], axis=-1)
+
+
 class QNet(nn.Module):
     """qlearn.py:12-20 — returns (batch, n_actions, n_choices) Q values.
     n_choices=2 is the per-intersection phase pair; --single_agent uses
@@ -44,6 +83,35 @@ class QNet(nn.Module):
         h2 = nn.relu(h1 + resid)
         q = nn.Dense(self.n_actions * self.n_choices)(h2)
         return q.reshape((-1, self.n_actions, self.n_choices))
+
+
+class ConvQNet(nn.Module):
+    """Grid-native double-DQN trunk: QNet's residual structure with
+    the Dense layers replaced by weight-shared convolutions over the
+    (m, n) intersection grid (obs_grid_channels; history frames as
+    channel groups).  Same interface as QNet — flat obs in,
+    (batch, m*n, n_choices) Q out — so it drops into qlearn's
+    main/chooser/target triple unchanged (--conv_gru with
+    --trainer=qlearn).  Rationale: the flattened QNet plateaus below
+    scripted greedy on the 5x5 grid (25 heads through one Dense-200
+    bottleneck); sharing weights across intersections restores the
+    3x3-sized learning problem at every grid size, and convs are the
+    MXU-friendly shape for it."""
+    m: int
+    n: int
+    n_choices: int = 2
+    channels: int = 64
+
+    @nn.compact
+    def __call__(self, obs):
+        b = obs.shape[0]
+        g = obs_grid_channels(obs.reshape((b, -1)), self.m, self.n)
+        h0 = nn.relu(nn.Conv(self.channels, (3, 3))(g))
+        h1 = nn.Conv(self.channels, (3, 3))(h0)
+        resid = nn.Conv(self.channels, (3, 3))(nn.relu(h1))
+        h2 = nn.relu(h1 + resid)
+        q = nn.Conv(self.n_choices, (1, 1))(h2)       # (b, m, n, 2)
+        return q.reshape((b, self.m * self.n, self.n_choices))
 
 
 class DuelingQRNN(nn.Module):
@@ -154,42 +222,13 @@ class ConvGRUA3CNet(nn.Module):
 
     @nn.compact
     def __call__(self, obs, initial_state=None):
-        # obs (batch, time, obs_dim) with obs_dim = 8*m*n + m*n:
-        # per-road passed/detected (4 dirs x 2) + per-intersection phase
-        # feature — rearranged into (m, n, 9) columns; with
-        # --occupancy_obs four more per-direction occupancy channels
-        # follow (13 columns).  With --history=k the flattened obs is k
-        # frame-major frames (oldest first, EnvState.history); each
-        # frame becomes its own channel group, giving (m, n, k*9|k*13)
-        # maps — this is what lets the conv-GRU pair with the
-        # history-20 qlearn distillation teacher (Config.bc_expert).
+        # obs (batch, time, obs_dim) -> (batch, time, m, n, C) channel
+        # maps; history frames become channel groups (obs_grid_channels
+        # — this is what lets the conv-GRU pair with the history-20
+        # distillation teacher, Config.bc_expert).
         b, t = obs.shape[0], obs.shape[1]
         v = self.m * self.n
-        x = obs.reshape((b, t, -1))
-        d = x.shape[-1]
-        # prefer the occupancy frame width when both divide (ambiguous
-        # only at history multiples of 9, not used by any config)
-        frame = 13 * v if d % (13 * v) == 0 else \
-            9 * v if d % (9 * v) == 0 else 0
-
-        def to_grid(flat, width):
-            def block(lo, n_dirs):
-                return flat[..., lo * v:(lo + n_dirs) * v].reshape(
-                    (b, t, n_dirs, self.m, self.n))
-            chans = [block(0, 4), block(4, 4), block(8, 1)]
-            if width >= 13 * v:
-                chans.append(block(9, 4))
-            g = jnp.concatenate(chans, axis=2)
-            return jnp.moveaxis(g, 2, -1)  # (b, t, m, n, 9 or 13)
-
-        if frame:
-            k = d // frame
-            frames = x.reshape((b, t, k, frame))
-            grid = jnp.concatenate(
-                [to_grid(frames[:, :, i], frame) for i in range(k)],
-                axis=-1)
-        else:
-            grid = jnp.zeros((b, t, self.m, self.n, 9))
+        grid = obs_grid_channels(obs.reshape((b, t, -1)), self.m, self.n)
         cell = ConvGRUCell(self.hidden_channels)
         if initial_state is None:
             initial_state = jnp.zeros(
