@@ -193,7 +193,7 @@ def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
         # each device runs the fused window on its local env shard
         # (batch is the trailing axis of every leaf); collectives are
         # only needed by the learner (psum over grads), not the env.
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         n_dp = mesh.shape["dp"]
@@ -224,7 +224,7 @@ def make_pallas_batched_env(topo: GridRoad, cfg: Config, n_envs: int,
                              P(None, "dp"), P("dp"), P(None, "dp"))
                 sim, obs, rew, done, ls = shard_map(
                     body2, mesh=mesh, in_specs=in_specs,
-                    out_specs=out_specs, check_rep=False)(*args)
+                    out_specs=out_specs, check_vma=False)(*args)
                 return sim, obs, rew, done, (ls if validate else None)
             return stepped
 

@@ -692,13 +692,13 @@ def make_window_kernel(topo: GridRoad, cfg: Config,
             return pl.BlockSpec(
                 shape[:-1] + (Bb,),
                 lambda i, _nd=nd: (0,) * (_nd - 1) + (i,),
-                memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+                memory_space=pl.ANY if interpret else pltpu.VMEM)
 
         def cspec(shape):
             """Constant (batch-free) input replicated to every block."""
             nd = len(shape)
             return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd,
-                                memory_space=pltpu.ANY if interpret
+                                memory_space=pl.ANY if interpret
                                 else pltpu.VMEM)
 
         leaves = [state[k] for k in SK]
