@@ -58,6 +58,15 @@ def main():
     cfg = Config(history=1, trainer="random",
                  num_envs=args.num_envs).derive()
     cfg = derive_spawn_rate(cfg, topo.open_sides(0))
+    if args.core == "native":
+        # Head-to-head denominator: the C++ host twin (the
+        # reference-class sequential CPU path — the role numba's
+        # nopython kernels play in /root/reference/gym_traffic/envs/
+        # traffic_env.py:46-218) on the same 3x3 workload, one env,
+        # one CPU core, Python-driven per tick exactly like the
+        # reference's gym loop.  Prints its own JSON line and exits.
+        print(json.dumps(_native_cpu_baseline(args, topo, cfg)))
+        return
     core = args.core
     if core == "auto":
         # positive TPU check (matches common.build_env): unknown plugin
@@ -132,6 +141,57 @@ def main():
         out.update({"value": round(best, 1),
                     "vs_baseline": round(best / 1e7, 4)})
     print(json.dumps(out))
+
+
+def _native_cpu_baseline(args, topo, cfg):
+    """env-steps/s of the native C++ simulator twin: one env, one CPU
+    core, sequential ticks driven from Python (spawner + random action
+    every light period + remi each window — the reference's per-tick
+    host loop shape, traffic_test.py:48-55 / traffic_env.py:224-248)."""
+    import numpy as np
+
+    from traffic_env_tpu.oracle import PoissonSpawner
+    from traffic_env_tpu.runtime.native import NativeSim
+
+    nsim = NativeSim(topo, cfg)
+    spawner = PoissonSpawner(np.random.RandomState(0),
+                             cfg.cars_per_sec, cfg.rate)
+    rng = np.random.RandomState(1)
+    n_i = topo.intersections
+    nsim.reset(rng.randint(2, size=n_i).astype(np.int32))
+
+    def make_stream(agent_steps):
+        """Pre-generate per-tick actions + spawn lists so the measured
+        loop is the C++ core alone (RNG/stream prep excluded — the
+        conservative direction for the TPU-vs-native ratio, since the
+        TPU number INCLUDES its on-device spawn draws)."""
+        ticks = agent_steps * cfg.light_iterations
+        acts = np.repeat(rng.randint(2, size=(agent_steps, n_i)),
+                         cfg.light_iterations, axis=0).astype(np.int32)
+        off = np.zeros(ticks + 1, np.int32)
+        roads = []
+        for t in range(ticks):
+            roads.extend(r for r, _, _ in spawner.tick(topo.entrypoints))
+            off[t + 1] = len(roads)
+        return (acts, off, np.asarray(roads, np.int32),
+                rng.randint(2, size=(256, n_i)).astype(np.int32))
+
+    a, off, rds, ph = make_stream(args.warmup_steps)
+    nsim.run(a, off, rds, cfg.light_iterations, ph)  # steady-state fill
+    best = 0.0
+    for _ in range(args.repeats):
+        a, off, rds, ph = make_stream(args.agent_steps)
+        t0 = time.perf_counter()
+        nsim.run(a, off, rds, cfg.light_iterations, ph)
+        dt = time.perf_counter() - t0
+        best = max(best, args.agent_steps * cfg.light_iterations / dt)
+    return {
+        "metric": "env_steps_per_sec_per_core (native C++ twin, "
+                  "3x3 grid, 1 env, 1 CPU core)",
+        "unit": "env-steps/s/core",
+        "value": round(best, 1),
+        "vs_baseline": round(best / 1e7, 4),
+    }
 
 
 if __name__ == "__main__":

@@ -89,3 +89,50 @@ def test_native_remi_and_occupancy():
     np.testing.assert_array_equal(oracle.cars_per_road(),
                                   nsim.cars_per_road())
     np.testing.assert_array_equal(oracle.remi_reward(), nsim.remi_reward())
+
+
+def test_native_sim_run_matches_sequential_steps():
+    """The batched in-C++ benchmark driver (sim_run) must leave the
+    simulator in exactly the state the per-tick step/remi/reset Python
+    loop produces — same spawns, same window remi cadence, same
+    overflow resets (cycled phases)."""
+    topo = GridRoad(2, 2, 80.0)   # short roads → overflows happen
+    cfg = Config(grid_m=2, grid_n=2, road_length=80.0).derive()
+    cfg = derive_spawn_rate(cfg, topo.open_sides(0))
+    rng = np.random.RandomState(3)
+    T, I = 600, topo.intersections
+    acts = np.repeat(rng.randint(2, size=(T // 10, I)), 10,
+                     axis=0).astype(np.int32)
+    spawner = PoissonSpawner(np.random.RandomState(4),
+                             cfg.cars_per_sec * 3, cfg.rate)
+    off = np.zeros(T + 1, np.int32)
+    roads = []
+    for t in range(T):
+        roads.extend(r for r, _, _ in spawner.tick(topo.entrypoints))
+        off[t + 1] = len(roads)
+    roads = np.asarray(roads, np.int32)
+    reset_phases = rng.randint(2, size=(7, I)).astype(np.int32)
+    phase0 = rng.randint(2, size=I).astype(np.int32)
+
+    batched = native.NativeSim(topo, cfg)
+    batched.reset(phase0)
+    n_resets = batched.run(acts, off, roads, 10, reset_phases)
+
+    seq = native.NativeSim(topo, cfg)
+    seq.reset(phase0)
+    resets = 0
+    for t in range(T):
+        _, _, done, _ = seq.step(acts[t], roads[off[t]:off[t + 1]])
+        if (t + 1) % 10 == 0:
+            seq.remi_reward()
+        if done:
+            seq.reset(reset_phases[resets % len(reset_phases)])
+            resets += 1
+
+    assert resets == n_resets and resets > 0, (resets, n_resets)
+    np.testing.assert_array_equal(seq.cars_per_road(),
+                                  batched.cars_per_road())
+    np.testing.assert_array_equal(np.stack(seq.pointers()),
+                                  np.stack(batched.pointers()))
+    np.testing.assert_array_equal(seq.raw_cars(), batched.raw_cars())
+    assert seq.generated_cars == batched.generated_cars

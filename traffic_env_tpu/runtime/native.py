@@ -52,6 +52,10 @@ def _load():
     lib.sim_step.argtypes = [ctypes.c_void_p, i32p, i32p, ctypes.c_int,
                              i32p, f32p]
     lib.sim_remi.argtypes = [ctypes.c_void_p, f32p]
+    lib.sim_run.restype = ctypes.c_int64
+    lib.sim_run.argtypes = [ctypes.c_void_p, i32p, i32p, i32p,
+                            ctypes.c_int, ctypes.c_int, i32p,
+                            ctypes.c_int]
     lib.sim_cars_per_road.argtypes = [ctypes.c_void_p, i32p]
     lib.sim_trip_count.restype = ctypes.c_int
     lib.sim_trip_count.argtypes = [ctypes.c_void_p]
@@ -107,6 +111,19 @@ class NativeSim:
     def obs(self):
         # obs refreshed by step; after reset compose from pointers
         return self._obs.copy()
+
+    def run(self, actions, spawn_off, spawn_roads, remi_every,
+            reset_phases):
+        """T ticks entirely inside C++ (benchmark driver; see sim_run).
+        actions: (T, I) int32; spawn_off: (T+1,) prefix offsets into
+        spawn_roads; reset_phases: (K, I) cycled per overflow reset.
+        Returns the reset count."""
+        actions = np.ascontiguousarray(actions, np.int32)
+        reset_phases = np.ascontiguousarray(reset_phases, np.int32)
+        return int(self.lib.sim_run(
+            self._h, _i32(actions), _i32(spawn_off), _i32(spawn_roads),
+            int(actions.shape[0]), int(remi_every), _i32(reset_phases),
+            int(reset_phases.shape[0])))
 
     def remi_reward(self):
         self.lib.sim_remi(self._h, self._rew.ctypes.data_as(

@@ -335,6 +335,38 @@ void sim_remi(Sim* s, float* rewards_out) {
               s->intersections * sizeof(float));
 }
 
+// Batched benchmark driver: T ticks entirely inside C++ against
+// pre-generated per-tick actions and spawn lists, with the Repeater's
+// remi call every `remi_every` ticks and auto-reset on overflow — the
+// whole benchmark loop without any host-language round trips, so the
+// measured rate is the sequential native core itself (the speed an
+// optimally-compiled single-thread CPU implementation of the
+// reference's numba kernels, traffic_env.py:46-218, can reach).
+// actions: int32[T * intersections]; spawn_off: int32[T+1] prefix
+// offsets into spawn_roads; reset_phases: int32[n_reset * I] cycled on
+// each overflow reset.  Returns the number of resets taken.
+int64_t sim_run(Sim* s, const int32_t* actions, const int32_t* spawn_off,
+                const int32_t* spawn_roads, int T, int remi_every,
+                const int32_t* reset_phases, int n_reset) {
+  std::vector<int32_t> obs(2 * s->train_roads + 2 * s->intersections);
+  std::vector<float> rew(s->intersections);
+  int64_t resets = 0;
+  for (int t = 0; t < T; ++t) {
+    const int done = sim_step(s, actions + (int64_t)t * s->intersections,
+                              spawn_roads + spawn_off[t],
+                              spawn_off[t + 1] - spawn_off[t],
+                              obs.data(), rew.data());
+    if (remi_every > 0 && (t + 1) % remi_every == 0)
+      sim_remi(s, rew.data());
+    if (done) {
+      sim_reset(s, reset_phases +
+                       (int64_t)(resets % n_reset) * s->intersections);
+      ++resets;
+    }
+  }
+  return resets;
+}
+
 void sim_cars_per_road(Sim* s, int32_t* out) {
   for (int e = 0; e < s->roads; ++e) {
     const int inv = s->leading[e] > s->lastcar[e];
