@@ -37,3 +37,10 @@ def test_bench_mesh_scaling_efficiency():
     assert line["mesh_devices"] == 2
     assert 0 < line["scaling_efficiency"]
     assert line["single_device_env_steps_per_sec"] > 0
+
+
+@pytest.mark.slow
+def test_bench_native_cpu_line():
+    line = _run(["--core=native"])
+    assert line["unit"] == "env-steps/s/core"
+    assert line["value"] > 0 and "vs_baseline" in line
